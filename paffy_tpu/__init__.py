@@ -1,0 +1,19 @@
+"""paffy-tpu: a TPU-native PAF/FASTA processing engine.
+
+A from-scratch JAX/XLA/Pallas framework with the full capability surface of
+ComparativeGenomicsToolkit/paffy (see SURVEY.md): batched PAF records are held
+as SoA/CSR tensors, per-column work (mismatch encoding, coverage, stats,
+trimming) runs as vectorized device kernels, and the chaining DP / tile sweep
+run as scan kernels, data-parallel over a device mesh.
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# Coordinates/scores are int64 in the PAF data model; enable 64-bit types
+# everywhere (per-column device tensors still use int32 where safe).
+_jax.config.update("jax_enable_x64", True)
+
+from paffy_tpu.core.model import PafTable  # noqa: E402,F401
+from paffy_tpu.core import pafio, fasta    # noqa: E402,F401

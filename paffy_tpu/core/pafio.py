@@ -1,0 +1,223 @@
+"""PAF text <-> PafTable conversion (host ingest/egress layer).
+
+Behavioral contract is the reference parser/serializer:
+  * parse:      impl/paf.c:137-209 (tab tokenize, strand validation, tag
+                dispatch on the 2-char code, unknown tags silently dropped)
+  * cigar parse: impl/paf.c:70-111 (M/I/D/=/X only, abort on anything else)
+  * serialize:  impl/paf.c:317-389 — field order, conditional tag emission:
+                - tp emitted iff type set or tile_level != -1; when type is
+                  unset it is synthesized as 'S' if tile_level > 1 else 'P'
+                  (impl/paf.c:343-348)
+                - AS omitted iff score == INT_MAX (impl/paf.c:349)
+                - tl/cn/s1 emitted iff != -1
+                - cg last
+Byte-identical output against the reference serializer is the correctness
+gate (tests/paf_test.c round-trip).
+
+A C++ fast path (paffy_tpu.native) is used when available; this module holds
+the portable implementation and the dispatch.
+"""
+
+from __future__ import annotations
+
+import re
+import numpy as np
+
+from .model import (PafTable, CHAR_TO_OP, OP_TO_CHAR, INT_MAX, _as_obj_array)
+
+_CIGAR_RE = re.compile(r"(\d+)([MIDX=])")
+
+
+class PafFormatError(ValueError):
+    pass
+
+
+def parse_cigar_string(s: str) -> list[tuple[int, int]]:
+    """Parse a cigar string to [(op, length)].  Empty string -> [] (treated as
+    absent cigar, mirroring cigar_parse returning NULL, impl/paf.c:71-73)."""
+    if not s:
+        return []
+    out = []
+    pos = 0
+    for m in _CIGAR_RE.finditer(s):
+        if m.start() != pos:
+            raise PafFormatError(f"Got an unexpected character in paf cigar string: {s[pos]!r}")
+        out.append((CHAR_TO_OP[m.group(2)], int(m.group(1))))
+        pos = m.end()
+    if pos != len(s):
+        raise PafFormatError(f"Got an unexpected character in paf cigar string: {s[pos]!r}")
+    return out
+
+
+def parse_paf_text(text: str) -> PafTable:
+    """Parse PAF text (one record per line) into a PafTable.
+
+    The cigar is always parsed to ops (the reference's parse_cigar_string=0
+    mode only defers parsing; the canonical re-serialization is identical for
+    well-formed cigars, and every numeric transform needs ops anyway).
+    """
+    lines = text.splitlines()
+    n = sum(1 for ln in lines if ln)
+    qname = np.empty(n, dtype=object)
+    tname = np.empty(n, dtype=object)
+    ints = np.zeros((9, n), dtype=np.int64)   # qlen qs qe tlen ts te nm nb mq
+    strand = np.zeros(n, dtype=bool)
+    score = np.zeros(n, dtype=np.int64)
+    tile_level = np.full(n, -1, dtype=np.int64)
+    chain_id = np.full(n, -1, dtype=np.int64)
+    chain_score = np.full(n, -1, dtype=np.int64)
+    rtype = np.zeros(n, dtype=np.uint8)
+    has_cigar = np.zeros(n, dtype=bool)
+    ops_all: list[int] = []
+    lens_all: list[int] = []
+    off = np.zeros(n + 1, dtype=np.int64)
+
+    i = 0
+    for ln in lines:
+        if not ln:
+            continue
+        f = ln.split("\t")
+        if len(f) < 12:
+            raise PafFormatError(f"paf line has {len(f)} fields, expected >= 12: {ln[:80]!r}")
+        qname[i] = f[0]
+        tname[i] = f[5]
+        st = f[4]
+        if st not in ("+", "-"):
+            raise PafFormatError(f"Got an unexpected strand character ({st}) in a paf string")
+        strand[i] = st == "+"
+        ints[0, i] = int(f[1]); ints[1, i] = int(f[2]); ints[2, i] = int(f[3])
+        ints[3, i] = int(f[6]); ints[4, i] = int(f[7]); ints[5, i] = int(f[8])
+        ints[6, i] = int(f[9]); ints[7, i] = int(f[10]); ints[8, i] = int(f[11])
+        for tag in f[12:]:
+            # format XX:T:value; malformed tags skipped (impl/paf.c:182-184)
+            if len(tag) < 5 or tag[2] != ":" or tag[4] != ":":
+                continue
+            code = tag[:2]
+            value = tag[5:]
+            if code == "tp":
+                if value[:1] not in ("P", "S", "I"):
+                    raise PafFormatError(f"bad tp tag value: {value!r}")
+                rtype[i] = ord(value[0])
+            elif code == "AS":
+                score[i] = int(value)
+            elif code == "cg":
+                cg = parse_cigar_string(value)
+                if cg:
+                    has_cigar[i] = True
+                    for op, l in cg:
+                        ops_all.append(op)
+                        lens_all.append(l)
+            elif code == "tl":
+                tile_level[i] = int(value)
+            elif code == "cn":
+                chain_id[i] = int(value)
+            elif code == "s1":
+                chain_score[i] = int(value)
+        off[i + 1] = len(ops_all)
+        i += 1
+
+    return PafTable(
+        qname=qname, qlen=ints[0], qstart=ints[1], qend=ints[2], strand=strand,
+        tname=tname, tlen=ints[3], tstart=ints[4], tend=ints[5],
+        num_matches=ints[6], num_bases=ints[7], mapq=ints[8], score=score,
+        tile_level=tile_level, chain_id=chain_id, chain_score=chain_score,
+        type=rtype, has_cigar=has_cigar,
+        ops=np.array(ops_all, dtype=np.uint8),
+        lens=np.array(lens_all, dtype=np.int64), off=off)
+
+
+def cigar_to_string(ops: np.ndarray, lens: np.ndarray) -> str:
+    if len(ops) == 0:
+        return ""
+    return "".join(f"{int(l)}{OP_TO_CHAR[int(o)]}" for o, l in zip(ops, lens))
+
+
+def format_record(t: PafTable, i: int) -> str:
+    """Serialize one record (no trailing newline) — paf_print equivalent."""
+    parts = [
+        str(t.qname[i]), str(t.qlen[i]), str(t.qstart[i]), str(t.qend[i]),
+        "+" if t.strand[i] else "-",
+        str(t.tname[i]), str(t.tlen[i]), str(t.tstart[i]), str(t.tend[i]),
+        str(t.num_matches[i]), str(t.num_bases[i]), str(t.mapq[i]),
+    ]
+    line = "\t".join(parts)
+    ty = int(t.type[i])
+    tl = int(t.tile_level[i])
+    if ty != 0 or tl != -1:
+        c = chr(ty) if ty != 0 else ("S" if tl > 1 else "P")
+        line += "\ttp:A:" + c
+    if int(t.score[i]) != INT_MAX:
+        line += f"\tAS:i:{int(t.score[i])}"
+    if tl != -1:
+        line += f"\ttl:i:{tl}"
+    if int(t.chain_id[i]) != -1:
+        line += f"\tcn:i:{int(t.chain_id[i])}"
+    if int(t.chain_score[i]) != -1:
+        line += f"\ts1:i:{int(t.chain_score[i])}"
+    if t.has_cigar[i]:
+        s, e = t.off[i], t.off[i + 1]
+        line += "\tcg:Z:" + cigar_to_string(t.ops[s:e], t.lens[s:e])
+    return line
+
+
+def serialize_paf(t: PafTable) -> str:
+    """Serialize a whole table, one line per record, trailing newline per line."""
+    return "".join(format_record(t, i) + "\n" for i in range(len(t)))
+
+
+def read_paf_file(path_or_file) -> PafTable:
+    if hasattr(path_or_file, "read"):
+        return parse_paf_text(path_or_file.read())
+    with open(path_or_file, "r") as fh:
+        return parse_paf_text(fh.read())
+
+
+def write_paf_file(t: PafTable, path_or_file) -> None:
+    data = serialize_paf(t)
+    if hasattr(path_or_file, "write"):
+        path_or_file.write(data)
+    else:
+        with open(path_or_file, "w") as fh:
+            fh.write(data)
+
+
+class PafCheckError(ValueError):
+    pass
+
+
+def paf_check(t: PafTable, idx=None) -> None:
+    """Validate coordinates and cigar spans; raises on the first bad record.
+
+    Mirrors paf_check (impl/paf.c:427-461): starts in-bounds, start <= end,
+    end <= length, and (when a cigar is present) the cigar's query/target
+    consumption equals end-start on each axis.
+    """
+    n = len(t)
+    if n == 0:
+        return
+    sel = np.arange(n) if idx is None else np.asarray(idx)
+    bad = (t.qstart[sel] < 0) | (t.qstart[sel] >= t.qlen[sel])
+    _raise_first(t, sel, bad, "Paf query start coordinates are invalid")
+    bad = (t.qstart[sel] > t.qend[sel]) | (t.qend[sel] > t.qlen[sel])
+    _raise_first(t, sel, bad, "Paf query end coordinates are invalid")
+    bad = (t.tstart[sel] < 0) | (t.tstart[sel] >= t.tlen[sel])
+    _raise_first(t, sel, bad, "Paf target start coordinates are invalid")
+    bad = (t.tstart[sel] > t.tend[sel]) | (t.tend[sel] > t.tlen[sel])
+    _raise_first(t, sel, bad, "Paf target end coordinates are invalid")
+    # cigar span check via segment sums over the CSR store
+    if len(t.ops):
+        from .segsum import segment_sums_by_offsets
+        q_consume = np.where(t.ops != 2, t.lens, 0)  # all but query_delete
+        t_consume = np.where(t.ops != 1, t.lens, 0)  # all but query_insert
+        qs = segment_sums_by_offsets(q_consume, t.off)
+        ts = segment_sums_by_offsets(t_consume, t.off)
+        bad = t.has_cigar[sel] & (qs[sel] != (t.qend[sel] - t.qstart[sel]))
+        _raise_first(t, sel, bad, "Paf cigar alignment does not match query length")
+        bad = t.has_cigar[sel] & (ts[sel] != (t.tend[sel] - t.tstart[sel]))
+        _raise_first(t, sel, bad, "Paf cigar alignment does not match target length")
+
+
+def _raise_first(t, sel, bad, msg):
+    if bad.any():
+        i = int(sel[np.nonzero(bad)[0][0]])
+        raise PafCheckError(f"{msg}, {format_record(t, i)}")

@@ -1,0 +1,25 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Sharding tests need multiple devices; real TPU hardware is exercised by
+bench.py / the driver, not by the unit suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+GOLDEN_PAF = pathlib.Path("/root/reference/tests/human_chimp.paf")
+
+
+@pytest.fixture(scope="session")
+def golden_paf_path():
+    if not GOLDEN_PAF.exists():
+        pytest.skip("golden human_chimp.paf not available")
+    return GOLDEN_PAF
