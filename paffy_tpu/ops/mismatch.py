@@ -1,0 +1,171 @@
+"""M -> =/X mismatch encoding and fused alignment stats — the per-column hot
+path, run on device.
+
+Replaces the reference's per-base C loops:
+  * paf_encode_mismatches (impl/paf.c:739-784): compare query/target bases
+    over every column of every M run (case-insensitive; reverse-complement
+    walk for '-' strand) and re-encode as =/X runs.  Runs never merge across
+    original op boundaries (the ``first`` flag reset, impl/paf.c:753).
+  * the view-stats aggregation (impl/paf_view.c:167-197).
+
+Device pipeline per batch: expand M runs to columns (segments.py), gather the
+two base vectors from the packed sequence pool in HBM, translate through the
+case-fold/complement tables, compare, and segment-reduce per record.  The
+full re-encode additionally computes run boundaries on device and rebuilds
+the CSR store on host from the compacted run arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from paffy_tpu.core.model import PafTable, MATCH, SEQ_MATCH, SEQ_MISMATCH
+from paffy_tpu.core.fasta import COMPLEMENT_TABLE, UPPER_TABLE, pack_sequences
+from paffy_tpu.core.segsum import segment_sums_by_offsets
+from paffy_tpu.ops.segments import (build_m_column_batch, columns_to_ops,
+                                    bucket_size, pad_to)
+
+_UPPER_J = jnp.asarray(UPPER_TABLE)
+_COMP_J = jnp.asarray(COMPLEMENT_TABLE)
+
+
+@partial(jax.jit, static_argnames=("c_pad",))
+def _column_compare(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad):
+    """Per-column match/boundary flags for all M runs of a batch.
+
+    Returns (is_match[c_pad] bool, col_op[c_pad] int32, valid[c_pad] bool).
+    """
+    col_op = columns_to_ops(col_off, c_pad=c_pad)
+    cols = jnp.arange(c_pad, dtype=col_off.dtype)
+    i = cols - col_off[col_op]
+    valid = cols < n_cols
+    tpos = tpos0[col_op] + i
+    qpos = qpos0[col_op] + jnp.where(rev[col_op], -i, i)
+    # clamp for padded columns (gathers must stay in-bounds)
+    limit = pool.shape[0] - 1
+    tb = pool[jnp.clip(tpos, 0, limit)]
+    qb = pool[jnp.clip(qpos, 0, limit)]
+    qb = jnp.where(rev[col_op], _COMP_J[qb], qb)
+    is_match = _UPPER_J[tb] == _UPPER_J[qb]
+    return is_match, col_op, valid
+
+
+@partial(jax.jit, static_argnames=("c_pad", "n_records"))
+def _column_match_counts(pool, lens, qpos0, tpos0, rev, col_off, rec, n_cols,
+                         c_pad, n_records):
+    """Fused: per-record (match, mismatch) column counts over all M runs."""
+    is_match, col_op, valid = _column_compare(
+        pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad)
+    rec_of_col = rec[col_op]
+    m = jax.ops.segment_sum((is_match & valid).astype(jnp.int64), rec_of_col,
+                            num_segments=n_records)
+    x = jax.ops.segment_sum((~is_match & valid).astype(jnp.int64), rec_of_col,
+                            num_segments=n_records)
+    return m, x
+
+
+@partial(jax.jit, static_argnames=("c_pad",))
+def _column_runs(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad):
+    """Fused: run decomposition of the match/mismatch column sequence.
+
+    Returns (boundary[c_pad] bool, is_match[c_pad] bool, valid[c_pad] bool):
+    boundary marks the first column of each output =/X run (run starts at
+    every M-op start and at every match-state flip).
+    """
+    is_match, col_op, valid = _column_compare(
+        pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad)
+    cols = jnp.arange(c_pad, dtype=col_off.dtype)
+    op_start = cols == col_off[col_op]
+    flip = jnp.concatenate([jnp.ones(1, dtype=bool), is_match[1:] != is_match[:-1]])
+    boundary = (op_start | flip) & valid
+    return boundary, is_match, valid
+
+
+class SequencePool:
+    """Device-resident packed FASTA: one uint8 HBM array + name index."""
+
+    def __init__(self, seqs: dict[str, str]):
+        pool_np, self.index = pack_sequences(seqs)
+        self._pool_np = pool_np
+        self.pool = jnp.asarray(pool_np)
+
+    def offsets_for(self, names: np.ndarray, role: str) -> np.ndarray:
+        out = np.empty(len(names), dtype=np.int64)
+        for i, n in enumerate(names):
+            entry = self.index.get(n)
+            if entry is None:
+                raise KeyError(f"No {role} sequence named: {n} found")
+            out[i] = entry[0]
+        return out
+
+
+def _prepare(t: PafTable, pool: SequencePool):
+    qoff = pool.offsets_for(t.qname, "query")
+    toff = pool.offsets_for(t.tname, "target")
+    return build_m_column_batch(t, qoff, toff)
+
+
+def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np.ndarray]:
+    """Per-record counts of matching / mismatching columns within M runs."""
+    b = _prepare(t, pool)
+    if b.n_cols == 0:
+        z = np.zeros(len(t), dtype=np.int64)
+        return z, z.copy()
+    m, x = _column_match_counts(
+        pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0), jnp.asarray(b.tpos0),
+        jnp.asarray(b.rev), jnp.asarray(b.col_off), jnp.asarray(b.rec),
+        b.n_cols, c_pad=b.n_cols_pad, n_records=len(t))
+    return np.asarray(m), np.asarray(x)
+
+
+def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
+    """paf_encode_mismatches over a whole batch: M runs become =/X runs; all
+    other ops pass through unchanged in place."""
+    b = _prepare(t, pool)
+    if b.n_cols == 0:
+        return t
+    boundary, is_match, valid = _column_runs(
+        pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0), jnp.asarray(b.tpos0),
+        jnp.asarray(b.rev), jnp.asarray(b.col_off), b.n_cols, c_pad=b.n_cols_pad)
+    boundary = np.asarray(boundary[: b.n_cols])
+    is_match = np.asarray(is_match[: b.n_cols])
+
+    # --- host: rebuild the CSR store with M runs replaced by their =/X runs
+    starts = np.nonzero(boundary)[0]
+    run_lens = np.diff(np.append(starts, b.n_cols))
+    run_ops = np.where(is_match[starts], np.uint8(SEQ_MATCH), np.uint8(SEQ_MISMATCH))
+    # owning original flat-op index of each run
+    col_to_mop = np.searchsorted(b.col_off[1: b.n_mops + 1], starts, side="right")
+    run_flat = b.flat_idx[col_to_mop]
+
+    # contributions per original flat op: 1 for non-M ops, #runs for M ops
+    contrib = np.ones(len(t.ops), dtype=np.int64)
+    runs_per_mop = np.zeros(len(t.ops), dtype=np.int64)
+    np.add.at(runs_per_mop, run_flat, 1)
+    is_m = t.ops == MATCH
+    contrib[is_m] = runs_per_mop[is_m]
+    out_off_per_op = np.zeros(len(t.ops) + 1, dtype=np.int64)
+    np.cumsum(contrib, out=out_off_per_op[1:])
+    total_out = int(out_off_per_op[-1])
+
+    new_ops = np.empty(total_out, dtype=np.uint8)
+    new_lens = np.empty(total_out, dtype=np.int64)
+    # non-M ops copy through
+    non_m = ~is_m
+    new_ops[out_off_per_op[:-1][non_m]] = t.ops[non_m]
+    new_lens[out_off_per_op[:-1][non_m]] = t.lens[non_m]
+    # M runs scatter to their op's output range in run order (run_flat is
+    # non-decreasing, so rank-in-group = index - first index of the group)
+    first_of_group = np.searchsorted(run_flat, run_flat, side="left")
+    run_rank = np.arange(len(run_flat)) - first_of_group
+    dest = out_off_per_op[:-1][run_flat] + run_rank
+    new_ops[dest] = run_ops
+    new_lens[dest] = run_lens
+
+    new_off = out_off_per_op[t.off]
+    return t.with_cigars(new_ops, new_lens, new_off)

@@ -1,0 +1,133 @@
+"""Device-side batch preparation: flat cigar-op tensors and column expansion.
+
+The single primitive that replaces every per-base C walk in the reference
+(mismatch encode impl/paf.c:754-768, coverage impl/paf.c:690-709, pretty
+print impl/paf.c:288-303): expand cigar runs into per-alignment-column index
+tensors with segmented prefix sums, then express the per-base work as gathers
++ elementwise compare + segment reductions — all batched, static-shaped, and
+jit-compiled.
+
+Shapes are padded to buckets (powers of two) so XLA compiles one kernel per
+bucket size rather than per batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from paffy_tpu.core.model import (PafTable, MATCH, QUERY_INSERT, QUERY_DELETE,
+                                  SEQ_MATCH, SEQ_MISMATCH)
+from paffy_tpu.core.segsum import segment_ids_from_offsets
+
+
+def bucket_size(n: int, minimum: int = 256) -> int:
+    """Next power-of-two >= n (>= minimum) — bounds recompilation count."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def pad_to(a: np.ndarray, size: int, fill=0) -> np.ndarray:
+    out = np.full(size, fill, dtype=a.dtype)
+    out[: len(a)] = a
+    return out
+
+
+@dataclass
+class MColumnBatch:
+    """Host-side description of all alignment columns of the M runs of a batch,
+    ready to ship to the device.
+
+    Per M-op arrays (padded to ``n_mops_pad``):
+      lens, rec      — run length, owning record index
+      qpos0, tpos0   — absolute position (into the packed sequence pool) of the
+                       run's first column on query/target
+      rev            — True iff query walks backward (opposite strand)
+      col_off        — exclusive cumsum of lens (length n_mops_pad+1)
+    ``n_cols`` is the true column count; device tensors use ``n_cols_pad``.
+    """
+
+    lens: np.ndarray
+    rec: np.ndarray
+    qpos0: np.ndarray
+    tpos0: np.ndarray
+    rev: np.ndarray
+    col_off: np.ndarray
+    flat_idx: np.ndarray  # index of each M op in the batch's flat op arrays
+    n_mops: int
+    n_cols: int
+    n_cols_pad: int
+
+
+def build_m_column_batch(t: PafTable, qpool_off: np.ndarray, tpool_off: np.ndarray,
+                         col_bucket: int | None = None) -> MColumnBatch:
+    """Prepare the M-run column expansion for a batch.
+
+    qpool_off/tpool_off: per-record offset of the record's query/target
+    sequence inside the packed pool (see fasta.pack_sequences).
+    """
+    ops, lens, off = t.ops, t.lens, t.off
+    total = len(ops)
+    seg = segment_ids_from_offsets(off, total)
+    q_consuming = ops != QUERY_DELETE
+    t_consuming = ops != QUERY_INSERT
+    qc = np.cumsum(np.where(q_consuming, lens, 0))
+    tc = np.cumsum(np.where(t_consuming, lens, 0))
+    qbase = np.concatenate([[0], qc])[off[:-1]]
+    tbase = np.concatenate([[0], tc])[off[:-1]]
+    q_excl = qc - np.where(q_consuming, lens, 0) - qbase[seg]
+    t_excl = tc - np.where(t_consuming, lens, 0) - tbase[seg]
+
+    m = np.nonzero(ops == MATCH)[0]
+    rec = seg[m]
+    mlens = lens[m]
+    strand = t.strand[rec]
+    # first-column absolute positions (paf_encode_mismatches walk,
+    # impl/paf.c:750-757): query walks forward from qstart for '+', backward
+    # from qend-1 for '-'; target always forward from tstart.
+    qpos0 = np.where(strand,
+                     qpool_off[rec] + t.qstart[rec] + q_excl[m],
+                     qpool_off[rec] + t.qend[rec] - 1 - q_excl[m])
+    tpos0 = tpool_off[rec] + t.tstart[rec] + t_excl[m]
+
+    n_mops = len(m)
+    n_cols = int(mlens.sum())
+    mop_pad = bucket_size(max(n_mops, 1))
+    col_pad = col_bucket or bucket_size(max(n_cols, 1))
+
+    col_off = np.zeros(mop_pad + 1, dtype=np.int64)
+    np.cumsum(pad_to(mlens, mop_pad), out=col_off[1:])
+    return MColumnBatch(
+        lens=pad_to(mlens, mop_pad),
+        rec=pad_to(rec.astype(np.int64), mop_pad, fill=max(len(t) - 1, 0)),
+        qpos0=pad_to(qpos0, mop_pad),
+        tpos0=pad_to(tpos0, mop_pad),
+        rev=pad_to(~strand, mop_pad, fill=False),
+        col_off=col_off,
+        flat_idx=m,
+        n_mops=n_mops, n_cols=n_cols, n_cols_pad=col_pad)
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("c_pad",))
+def columns_to_ops(col_off: jnp.ndarray, c_pad: int) -> jnp.ndarray:
+    """Map each column index -> owning M-op index via scatter + cumsum.
+
+    col_off: [n_mops+1] exclusive column offsets. Returns int32 [c_pad].
+    (Columns past the true count map past the last real op; callers mask.)
+    """
+    marks = jnp.zeros(c_pad, dtype=jnp.int32)
+    starts = col_off[1:-1]
+    # marks[p] = number of op starts at column p; cumsum -> op owning column c
+    marks = marks.at[starts].add(jnp.ones(starts.shape[0], jnp.int32), mode="drop")
+    return jnp.cumsum(marks)
+
+
+def segment_sum(values: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int):
+    return jax.ops.segment_sum(values, seg_ids, num_segments=num_segments)

@@ -14,6 +14,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import pathlib  # noqa: E402
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# The axon TPU plugin registers itself even when JAX_PLATFORMS=cpu is set and
+# would make every test compile remotely on the TPU tunnel (~20-60s per
+# compile).  Pin the default device to host CPU for the unit suite; real-TPU
+# execution is exercised by bench.py / the driver.
+try:
+    jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+except RuntimeError:  # no cpu backend — leave defaults
+    pass
 
 GOLDEN_PAF = pathlib.Path("/root/reference/tests/human_chimp.paf")
 

@@ -1,0 +1,176 @@
+"""Mismatch-encoding kernel tests — port of tests/paf_unit_test.c section 11
+plus strand/boundary cases, cross-checked against a direct per-base oracle."""
+
+import numpy as np
+import pytest
+
+from paffy_tpu.core.model import (MATCH, QUERY_INSERT, QUERY_DELETE,
+                                  SEQ_MATCH, SEQ_MISMATCH)
+from paffy_tpu.core.pafio import parse_paf_text, paf_check
+from paffy_tpu.core.fasta import reverse_complement_char
+from paffy_tpu.ops.mismatch import SequencePool, encode_mismatches, column_match_counts
+
+
+def parse_one(line):
+    return parse_paf_text(line + "\n")
+
+
+def oracle_encode(t, i, seqs):
+    """Direct per-record, per-base re-implementation of the reference walk
+    (impl/paf.c:748-777) used as the test oracle."""
+    q = seqs[t.qname[i]]
+    s = seqs[t.tname[i]]
+    ops, lens = t.record_ops(i)
+    out = []
+    qi, tj = 0, int(t.tstart[i])
+    for op, ln in zip(ops, lens):
+        op, ln = int(op), int(ln)
+        if op == MATCH:
+            first = True
+            prev = False
+            for k in range(ln):
+                if t.strand[i]:
+                    qb = q[int(t.qstart[i]) + qi + k]
+                else:
+                    qb = reverse_complement_char(q[int(t.qend[i]) - 1 - qi - k])
+                is_m = s[tj + k].upper() == qb.upper()
+                if first or is_m != prev:
+                    out.append([SEQ_MATCH if is_m else SEQ_MISMATCH, 1])
+                    first = False
+                else:
+                    out[-1][1] += 1
+                prev = is_m
+            qi += ln
+            tj += ln
+        else:
+            out.append([op, ln])
+            if op == QUERY_INSERT:
+                qi += ln
+            elif op == QUERY_DELETE:
+                tj += ln
+            else:
+                qi += ln
+                tj += ln
+    return [(o, l) for o, l in out]
+
+
+def enc(line, seqs):
+    t = parse_one(line)
+    pool = SequencePool(seqs)
+    t2 = encode_mismatches(t, pool)
+    ops, lens = t2.record_ops(0)
+    return t2, list(zip([int(o) for o in ops], [int(l) for l in lens]))
+
+
+def test_all_match():
+    _, cg = enc("q\t5\t0\t5\t+\tt\t5\t0\t5\t5\t5\t60\tcg:Z:5M",
+                {"q": "AAAAA", "t": "AAAAA"})
+    assert cg == [(SEQ_MATCH, 5)]
+
+
+def test_all_mismatch():
+    _, cg = enc("q\t5\t0\t5\t+\tt\t5\t0\t5\t0\t5\t60\tcg:Z:5M",
+                {"q": "AAAAA", "t": "CCCCC"})
+    assert cg == [(SEQ_MISMATCH, 5)]
+
+
+def test_mixed():
+    _, cg = enc("q\t4\t0\t4\t+\tt\t4\t0\t4\t2\t4\t60\tcg:Z:4M",
+                {"q": "AATT", "t": "AACC"})
+    assert cg == [(SEQ_MATCH, 2), (SEQ_MISMATCH, 2)]
+
+
+def test_case_insensitive():
+    _, cg = enc("q\t4\t0\t4\t+\tt\t4\t0\t4\t4\t4\t60\tcg:Z:4M",
+                {"q": "aAtT", "t": "AaTt"})
+    assert cg == [(SEQ_MATCH, 4)]
+
+
+def test_reverse_strand():
+    # '-' strand: query walks backward from qend-1, reverse-complemented.
+    # target=ACGT, revcomp(query[3..0]): query= ACGT -> walk T,G,C,A -> comp A,C,G,T
+    _, cg = enc("q\t4\t0\t4\t-\tt\t4\t0\t4\t4\t4\t60\tcg:Z:4M",
+                {"q": "ACGT", "t": "ACGT"})
+    assert cg == [(SEQ_MATCH, 4)]  # ACGT is its own reverse complement
+
+
+def test_runs_do_not_merge_across_op_boundaries():
+    # two adjacent M ops with the same match state still produce two runs
+    # (the `first` reset per M op, impl/paf.c:753)
+    _, cg = enc("q\t6\t0\t6\t+\tt\t6\t0\t6\t6\t6\t60\tcg:Z:3M3M",
+                {"q": "AAAAAA", "t": "AAAAAA"})
+    assert cg == [(SEQ_MATCH, 3), (SEQ_MATCH, 3)]
+
+
+def test_indels_pass_through():
+    t2, cg = enc("q\t8\t0\t7\t+\tt\t8\t0\t8\t4\t9\t60\tcg:Z:2M1I3M2D1M",
+                 {"q": "AAGCCCTT", "t": "AACCCGGT"})
+    # 2M: AA vs AA -> 2=; 1I; 3M: q CCC vs t CCC -> 3=; 2D; 1M: q T vs t T -> 1=
+    assert cg == [(SEQ_MATCH, 2), (QUERY_INSERT, 1), (SEQ_MATCH, 3),
+                  (QUERY_DELETE, 2), (SEQ_MATCH, 1)]
+    paf_check(t2)
+
+
+def test_existing_eq_x_ops_pass_through():
+    _, cg = enc("q\t5\t0\t5\t+\tt\t5\t0\t5\t4\t5\t60\tcg:Z:2=1X2M",
+                {"q": "AAATT", "t": "AACTT"})
+    assert cg == [(SEQ_MATCH, 2), (SEQ_MISMATCH, 1), (SEQ_MATCH, 2)]
+
+
+def test_random_against_oracle():
+    rng = np.random.default_rng(42)
+    bases = np.array(list("ACGTacgtN"))
+    lines = []
+    seqs = {}
+    for r in range(30):
+        qlen = int(rng.integers(20, 80))
+        tlen = int(rng.integers(20, 80))
+        qn, tn = f"q{r}", f"t{r}"
+        seqs[qn] = "".join(rng.choice(bases, qlen))
+        seqs[tn] = "".join(rng.choice(bases, tlen))
+        # random cigar fitting the sequences
+        ops, q, t = [], 0, 0
+        while q < qlen - 6 and t < tlen - 6 and len(ops) < 8:
+            kind = int(rng.integers(0, 3))
+            ln = int(rng.integers(1, 5))
+            if kind == 0:
+                ln = min(ln, qlen - 6 - q, tlen - 6 - t)
+                if ln <= 0:
+                    break
+                ops.append(f"{ln}M"); q += ln; t += ln
+            elif kind == 1 and q < qlen - 7:
+                ops.append(f"{ln if q+ln < qlen-6 else 1}I")
+                q += ln if q + ln < qlen - 6 else 1
+            elif t < tlen - 7:
+                ops.append(f"{ln if t+ln < tlen-6 else 1}D")
+                t += ln if t + ln < tlen - 6 else 1
+        if not ops or not any(o.endswith("M") for o in ops):
+            ops = ["3M"]; q, t = 3, 3
+        strand = "+" if rng.random() < 0.5 else "-"
+        qs = int(rng.integers(0, 3))
+        ts = int(rng.integers(0, 3))
+        lines.append(f"{qn}\t{qlen}\t{qs}\t{qs+q}\t{strand}\t{tn}\t{tlen}\t{ts}\t{ts+t}"
+                     f"\t{q}\t{max(q,t)}\t60\tcg:Z:{''.join(ops)}")
+    t = parse_paf_text("\n".join(lines) + "\n")
+    pool = SequencePool(seqs)
+    t2 = encode_mismatches(t, pool)
+    paf_check(t2)
+    for i in range(len(t)):
+        expect = oracle_encode(t, i, seqs)
+        ops, lens = t2.record_ops(i)
+        got = list(zip([int(o) for o in ops], [int(l) for l in lens]))
+        assert got == expect, f"record {i}: {got} != {expect}"
+
+
+def test_column_match_counts_agree_with_encode():
+    seqs = {"q": "AATTCCGG", "t": "AATACCGG"}
+    t = parse_one("q\t8\t0\t8\t+\tt\t8\t0\t8\t7\t8\t60\tcg:Z:8M")
+    pool = SequencePool(seqs)
+    m, x = column_match_counts(t, pool)
+    assert m[0] == 7 and x[0] == 1
+
+
+def test_missing_sequence_raises():
+    t = parse_one("q\t5\t0\t5\t+\tmissing\t5\t0\t5\t5\t5\t60\tcg:Z:5M")
+    with pytest.raises(KeyError):
+        encode_mismatches(t, SequencePool({"q": "AAAAA"}))
