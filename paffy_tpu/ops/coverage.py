@@ -1,0 +1,110 @@
+"""Alignment coverage maps over query sequences.
+
+Reference: SequenceCountArray + increase_alignment_level_counts
+(impl/paf.c:669-709): per-base uint16 counts keyed by query name, incremented
+for every base of every aligned (M/=/X) run, saturating at INT16_MAX-1.
+
+Instead of per-base increments, coverage is built as an interval difference
+array (+1 at run start, -1 at run end) followed by one prefix sum — O(runs +
+sequence length) instead of O(covered bases).  Saturating increments never
+decrease, so clipping the exact counts at INT16_MAX-1 reproduces the
+reference's per-base saturation bit-for-bit.
+
+The coordinate walk matches the reference exactly: the query cursor starts at
+query_start and advances through non-delete ops in cigar order regardless of
+strand (impl/paf.c:690-709).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from paffy_tpu.core.model import PafTable, QUERY_DELETE, QUERY_INSERT
+from paffy_tpu.core.segsum import segment_ids_from_offsets
+
+SATURATION = 32766  # INT16_MAX - 1 (impl/paf.c:700)
+EMPTY_TILE_LEVEL = 32767  # INT16_MAX sentinel for empty-match records (impl/paf_tile.c:64)
+
+
+def match_intervals(t: PafTable) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All aligned-run query intervals of a batch.
+
+    Returns (rec_id, start, end) flat arrays — one entry per M/=/X run, with
+    query coordinates computed by the reference's forward walk from
+    query_start.
+    """
+    if len(t.ops) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    seg = segment_ids_from_offsets(t.off, len(t.ops))
+    advances = np.where(t.ops != QUERY_DELETE, t.lens, 0)
+    c = np.cumsum(advances)
+    base = np.concatenate([[0], c])[t.off[:-1]]
+    excl = c - advances - base[seg]          # query offset before this op
+    is_aligned = (t.ops != QUERY_DELETE) & (t.ops != QUERY_INSERT)
+    sel = np.nonzero(is_aligned)[0]
+    rec = seg[sel]
+    start = t.qstart[rec] + excl[sel]
+    end = start + t.lens[sel]
+    return rec, start, end
+
+
+class CoverageMap:
+    """Per-sequence coverage count arrays, built lazily in first-seen order."""
+
+    def __init__(self):
+        self.names: list[str] = []
+        self._idx: dict[str, int] = {}
+        self.lengths: list[int] = []
+        self._diffs: list[np.ndarray] = []
+
+    def _get(self, name: str, length: int) -> int:
+        i = self._idx.get(name)
+        if i is None:
+            i = len(self.names)
+            self._idx[name] = i
+            self.names.append(name)
+            self.lengths.append(int(length))
+            self._diffs.append(np.zeros(int(length) + 1, dtype=np.int64))
+        else:
+            if self.lengths[i] != int(length):
+                raise ValueError(
+                    f"sequence {name!r} seen with inconsistent lengths "
+                    f"{self.lengths[i]} vs {length}")
+        return i
+
+    def add(self, t: PafTable) -> None:
+        """Accumulate coverage of a batch's query sequences."""
+        rec, start, end = match_intervals(t)
+        # register sequences in record order even when a record has no runs
+        seq_of_rec = np.empty(len(t), dtype=np.int64)
+        for i in range(len(t)):
+            seq_of_rec[i] = self._get(t.qname[i], t.qlen[i])
+        if len(rec) == 0:
+            return
+        sid = seq_of_rec[rec]
+        for i in np.unique(sid):
+            m = sid == i
+            d = self._diffs[int(i)]
+            np.add.at(d, start[m], 1)
+            np.add.at(d, end[m], -1)
+
+    def counts(self, name: str) -> np.ndarray:
+        """Materialize the saturated uint16 count array for one sequence."""
+        i = self._idx[name]
+        c = np.cumsum(self._diffs[i][:-1])
+        return np.minimum(c, SATURATION).astype(np.uint16)
+
+
+def run_length_rows(counts: np.ndarray, binary: bool) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """RLE of a count array: (starts, ends, values) of maximal equal runs
+    (write_bed, impl/paf_to_bed.c:33-55).  With binary=True runs split on the
+    >0 indicator instead of the exact count."""
+    if len(counts) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    key = (counts > 0).astype(np.int64) if binary else counts.astype(np.int64)
+    change = np.nonzero(key[1:] != key[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(counts)]])
+    return starts, ends, counts[starts].astype(np.int64)

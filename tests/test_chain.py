@@ -1,0 +1,160 @@
+"""Chaining DP tests — semantics from impl/chaining.c with hand-computed
+expectations, plus numpy-vs-device-scan equivalence."""
+
+import numpy as np
+import pytest
+
+from paffy_tpu.core.pafio import parse_paf_text, format_record
+from paffy_tpu.ops import chain as chain_mod
+from paffy_tpu.ops.chain import paf_chain
+
+
+def mk(records):
+    """records: list of (qname,qs,qe,strand,tname,ts,te,score); len 1000."""
+    lines = []
+    for qn, qs, qe, st, tn, ts, te, sc in records:
+        lines.append(f"{qn}\t1000\t{qs}\t{qe}\t{st}\t{tn}\t1000\t{ts}\t{te}"
+                     f"\t{qe-qs}\t{qe-qs}\t60\tAS:i:{sc}")
+    return parse_paf_text("\n".join(lines) + "\n")
+
+
+def test_two_records_chain():
+    t = mk([("q", 0, 100, "+", "t", 0, 100, 10000),
+            ("q", 200, 300, "+", "t", 200, 300, 10000)])
+    out = paf_chain(t, pct_trim=0.0)
+    # gap cost = 5000 + 1*(100+100) = 5200; chain score = 20000-5200 = 14800
+    assert list(out.chain_id) == [0, 0]
+    assert list(out.chain_score) == [14800, 14800]
+    # members emitted head-first: the later record (the chain head) first
+    assert out.qstart[0] == 200 and out.qstart[1] == 0
+
+
+def test_zero_gap_costs_nothing():
+    t = mk([("q", 0, 100, "+", "t", 0, 100, 7000),
+            ("q", 100, 200, "+", "t", 100, 200, 7000)])
+    out = paf_chain(t, pct_trim=0.0)
+    assert list(out.chain_score) == [14000, 14000]
+
+
+def test_gap_exceeding_max_gap_breaks_chain():
+    t = mk([("q", 0, 100, "+", "t", 0, 100, 10000),
+            ("q", 200, 300, "+", "t", 200, 300, 10000)])
+    out = paf_chain(t, max_gap=50, pct_trim=0.0)
+    assert list(out.chain_id) == [0, 1]
+    assert list(out.chain_score) == [10000, 10000]
+
+
+def test_query_overlap_blocks_chain():
+    t = mk([("q", 0, 100, "+", "t", 0, 100, 10000),
+            ("q", 50, 300, "+", "t", 200, 300, 10000)])
+    out = paf_chain(t, pct_trim=0.0)
+    assert list(out.chain_id) == [0, 1]
+
+
+def test_trim_fraction_allows_overlap_to_chain():
+    # 100-base overlap on both axes; pct_trim=1.0 trims min(span)/2 from each
+    # end so the trimmed records no longer overlap and can chain
+    t = mk([("q", 0, 300, "+", "t", 0, 300, 10000),
+            ("q", 200, 500, "+", "t", 200, 500, 10000)])
+    out0 = paf_chain(t, pct_trim=0.0)
+    assert list(out0.chain_id) == [0, 1]
+    out1 = paf_chain(t, pct_trim=1.0)
+    assert list(out1.chain_id) == [0, 0]
+    # coordinates are restored after chaining (un-trim)
+    assert sorted(map(int, out1.qstart)) == [0, 200]
+    assert sorted(map(int, out1.qend)) == [300, 500]
+
+
+def test_gap_cost_must_beat_score():
+    # g < paf->score required (impl/chaining.c:195): score 5100 < g 5200
+    t = mk([("q", 0, 100, "+", "t", 0, 100, 10000),
+            ("q", 200, 300, "+", "t", 200, 300, 5100)])
+    out = paf_chain(t, pct_trim=0.0)
+    assert list(out.chain_id) == [0, 1]
+
+
+def test_negative_strand_chaining_mirrors_query():
+    # '-' strand: later target goes with EARLIER query coordinates
+    t = mk([("q", 200, 300, "-", "t", 0, 100, 10000),
+            ("q", 0, 100, "-", "t", 200, 300, 10000)])
+    out = paf_chain(t, pct_trim=0.0)
+    assert list(out.chain_id) == [0, 0]
+    assert list(out.chain_score) == [14800, 14800]
+    # and the same-direction pair on '-' strand must NOT chain
+    t2 = mk([("q", 0, 100, "-", "t", 0, 100, 10000),
+             ("q", 200, 300, "-", "t", 200, 300, 10000)])
+    out2 = paf_chain(t2, pct_trim=0.0)
+    assert list(out2.chain_id) == [0, 1]
+
+
+def test_different_names_never_chain():
+    t = mk([("q1", 0, 100, "+", "t", 0, 100, 10000),
+            ("q2", 200, 300, "+", "t", 200, 300, 10000)])
+    out = paf_chain(t, pct_trim=0.0)
+    assert list(out.chain_id) == [0, 1]
+
+
+def test_greedy_extraction_truncates_claimed_links():
+    # A <- B and A <- C (both chain to A); the best chain claims A, the other
+    # is truncated at the claimed link (impl/chaining.c:225-231)
+    t = mk([("q", 0, 100, "+", "t", 0, 100, 10000),     # A
+            ("q", 150, 250, "+", "t", 150, 250, 20000),  # B: cs = 30000-5100? no:
+            ("q", 150, 250, "+", "t", 300, 400, 9000)])  # C
+    out = paf_chain(t, pct_trim=0.0)
+    # B: qgap 50, tgap 50 -> g = 5100; cs_B = 20000+10000-5100 = 24900
+    # C: qgap 50, tgap 200 -> g = 5250; cs_C = 9000+10000-5250 = 13750
+    # extraction: B's chain [B,A] wins; C truncated -> own chain score 9000
+    by_score = {int(s): (int(c), int(cs))
+                for s, c, cs in zip(out.score, out.chain_id, out.chain_score)}
+    assert by_score[20000] == (0, 24900)
+    assert by_score[10000] == (0, 24900)
+    assert by_score[9000][1] == 9000
+    assert by_score[9000][0] == 1
+
+
+def test_output_sorted_by_descending_score():
+    t = mk([("q", 0, 10, "+", "t", 0, 10, 5),
+            ("q", 600, 610, "+", "t", 600, 610, 50),
+            ("q", 900, 910, "+", "t", 900, 910, 7)])
+    out = paf_chain(t, pct_trim=0.0)
+    assert list(out.score) == sorted(out.score, reverse=True)
+
+
+def test_tie_breaks_toward_largest_target_end():
+    # two predecessors giving identical chain values: the reference's backward
+    # iteration visits the larger (target_end, query_end) first and strict
+    # inequality keeps it (impl/chaining.c:195-199)
+    t = mk([("q", 0, 100, "+", "t", 100, 200, 6000),   # A: te=200
+            ("q", 0, 100, "+", "t", 0, 100, 6100),     # B: te=100
+            ("q", 150, 250, "+", "t", 250, 350, 9000)])  # C
+    out = paf_chain(t, pct_trim=0.0)
+    # C->A: qgap 50, tgap 50,  g 5100, val = 9000+6000-5100 = 9900
+    # C->B: qgap 50, tgap 150, g 5200, val = 9000+6100-5200 = 9900
+    # tie -> A wins (largest target_end); B left as its own chain
+    by_score = {int(s): int(c) for s, c in zip(out.score, out.chain_id)}
+    assert by_score[9000] == by_score[6000]      # chained with A
+    assert by_score[6100] != by_score[9000]
+
+
+def test_numpy_and_device_dp_agree():
+    rng = np.random.default_rng(3)
+    recs = []
+    for i in range(80):
+        qs = int(rng.integers(0, 800))
+        ql = int(rng.integers(5, 60))
+        ts = int(rng.integers(0, 800))
+        tl = int(rng.integers(5, 60))
+        sc = int(rng.integers(1, 20000))
+        st = "+" if rng.random() < 0.7 else "-"
+        recs.append(("q", qs, min(qs + ql, 1000), st, "t", ts,
+                     min(ts + tl, 1000), sc))
+    t = mk(recs)
+    out_np = paf_chain(t, pct_trim=0.0)
+    old = chain_mod.DEVICE_GROUP_THRESHOLD
+    try:
+        chain_mod.DEVICE_GROUP_THRESHOLD = 1  # force the lax.scan path
+        out_dev = paf_chain(t, pct_trim=0.0)
+    finally:
+        chain_mod.DEVICE_GROUP_THRESHOLD = old
+    from paffy_tpu.core.pafio import serialize_paf
+    assert serialize_paf(out_np) == serialize_paf(out_dev)
