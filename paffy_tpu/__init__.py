@@ -15,5 +15,16 @@ import jax as _jax
 # everywhere (per-column device tensors still use int32 where safe).
 _jax.config.update("jax_enable_x64", True)
 
+# Optional platform pin (e.g. PAFFY_TPU_PLATFORM=cpu for hermetic CLI tests —
+# the axon TPU plugin ignores JAX_PLATFORMS, so pin the default device).
+import os as _os  # noqa: E402
+
+_plat = _os.environ.get("PAFFY_TPU_PLATFORM")
+if _plat:
+    try:
+        _jax.config.update("jax_default_device", _jax.local_devices(backend=_plat)[0])
+    except RuntimeError:
+        pass
+
 from paffy_tpu.core.model import PafTable  # noqa: E402,F401
 from paffy_tpu.core import pafio, fasta    # noqa: E402,F401

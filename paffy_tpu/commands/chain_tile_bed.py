@@ -1,0 +1,98 @@
+"""Whole-file paffy commands: chain, tile, to_bed
+(references: impl/paf_chain.c, impl/paf_tile.c, impl/paf_to_bed.c)."""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import replace
+import numpy as np
+
+from paffy_tpu.commands.common import base_parser, start, read_table, write_table, open_output
+from paffy_tpu.core import pafio
+from paffy_tpu.core.fasta import read_fasta
+from paffy_tpu.ops.chain import paf_chain
+from paffy_tpu.ops.tile import assign_tile_levels, tile_sort_order
+from paffy_tpu.ops.coverage import CoverageMap, run_length_rows
+from paffy_tpu.ops import transforms as tr
+from paffy_tpu.utils.logging import log_info
+
+
+def chain_main(argv) -> int:
+    p = base_parser("paffy chain",
+                    "Chains the records in the PAF file into chains, rescoring "
+                    "them as chains. Chains are indicated with the cn tag.")
+    p.add_argument("-g", "--maxGapLength", type=int, default=1000000)
+    p.add_argument("-d", "--chainGapOpen", type=int, default=5000)
+    p.add_argument("-e", "--chainGapExtend", type=int, default=1)
+    p.add_argument("-t", "--trimFraction", type=float, default=1.0)
+    args = p.parse_args(argv)
+    timer = start(args, "Paffy chain")
+    log_info("Maximum gap length : %d", args.maxGapLength)
+    log_info("Chain gap open : %d", args.chainGapOpen)
+    log_info("Chain gap extend : %d", args.chainGapExtend)
+    t = read_table(args)
+    out = paf_chain(t, gap_open=args.chainGapOpen, gap_extend=args.chainGapExtend,
+                    max_gap=args.maxGapLength, pct_trim=args.trimFraction)
+    write_table(out, args)
+    timer.done()
+    return 0
+
+
+def tile_main(argv) -> int:
+    p = base_parser("paffy tile",
+                    "Tiles the records in the PAF file along the query sequence")
+    args = p.parse_args(argv)
+    timer = start(args, "Paffy tile")
+    t = read_table(args)
+    order = tile_sort_order(t)
+    levels = assign_tile_levels(t, order)
+    t = replace(t, tile_level=levels)
+    # output in sorted best-first order (impl/paf_tile.c:157,178)
+    write_table(t.take(order), args)
+    timer.done()
+    return 0
+
+
+def to_bed_main(argv) -> int:
+    p = base_parser("paffy to_bed",
+                    "Creates a bed file representing the coverage of alignments "
+                    "on the query sequences of the paf alignments")
+    p.add_argument("-b", "--binary", action="store_true")
+    p.add_argument("-e", "--excludeUnaligned", action="store_true")
+    p.add_argument("-f", "--excludeAligned", action="store_true")
+    p.add_argument("-m", "--minSize", type=int, default=1)
+    p.add_argument("-n", "--includeInverted", action="store_true")
+    p.add_argument("-q", "--queryFastaFile", default=None)
+    args = p.parse_args(argv)
+    timer = start(args, "Paffy to_bed")
+    t = read_table(args)
+    cm = CoverageMap()
+    cm.add(t)
+    if args.includeInverted:
+        cm.add(tr.invert(t))
+    out = open_output(args)
+    try:
+        # rows per sequence in first-seen order (the reference iterates its
+        # hash table; see write_bed, impl/paf_to_bed.c:33-55)
+        for name in cm.names:
+            counts = cm.counts(name)
+            starts, ends, vals = run_length_rows(counts, args.binary)
+            sizes = ends - starts
+            keep = sizes >= args.minSize
+            keep &= np.where(vals == 0, not args.excludeUnaligned,
+                             not args.excludeAligned)
+            shown = np.where(vals > 0, 1, 0) if args.binary else vals
+            for s, e, v in zip(starts[keep], ends[keep], shown[keep]):
+                out.write(f"{name} {s} {e} {v}\n")
+        # whole-missing FASTA records as 0-coverage rows
+        # (write_missing_fasta_seqs, impl/paf_to_bed.c:63-67,187-190)
+        if args.excludeAligned and args.queryFastaFile:
+            covered = set(cm.names)
+            for name, seq in read_fasta(args.queryFastaFile).items():
+                if name not in covered:
+                    out.write(f"{name} 0 {len(seq)}\t0\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+    timer.done()
+    return 0

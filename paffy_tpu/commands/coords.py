@@ -1,0 +1,172 @@
+"""Coordinate-frame paffy commands: dechunk, upconvert, split_file
+(references: impl/paf_dechunk.c, impl/paf_upconvert.c, impl/paf_split_file.c)."""
+
+from __future__ import annotations
+
+import bisect
+import sys
+from dataclasses import replace
+import numpy as np
+
+from paffy_tpu.commands.common import base_parser, start, read_table, write_table, open_input
+from paffy_tpu.core import pafio
+from paffy_tpu.core.fasta import decode_header, read_fasta_list
+from paffy_tpu.core.model import _as_obj_array
+from paffy_tpu.utils.logging import log_info, log_debug
+
+
+def _dechunk_side(names, starts, ends, lengths):
+    """Decode name|length|start headers and shift one coordinate side
+    (convertCoordinatesP, impl/paf_dechunk.c:24-38)."""
+    cache: dict[str, tuple[str, int, int]] = {}
+    new_names = np.empty(len(names), dtype=object)
+    shift = np.zeros(len(names), dtype=np.int64)
+    new_len = np.zeros(len(names), dtype=np.int64)
+    for i, nm in enumerate(names):
+        c = cache.get(nm)
+        if c is None:
+            iv = decode_header(nm)
+            c = (iv.name, iv.start, iv.length)
+            cache[nm] = c
+        new_names[i] = c[0]
+        shift[i] = c[1]
+        new_len[i] = c[2]
+    return new_names, starts + shift, ends + shift, new_len
+
+
+def dechunk_main(argv) -> int:
+    p = base_parser("paffy dechunk",
+                    "Modifies paf coordinates to remove the chunk coordinate "
+                    "name encoding created by fasta_chunk")
+    p.add_argument("-q", "--query", action="store_true",
+                   help="only fix the query side")
+    p.add_argument("-t", "--target", action="store_true",
+                   help="only fix the target side")
+    args = p.parse_args(argv)
+    timer = start(args, "Paffy dechunk")
+    fix_query = not args.target   # -t restricts to target only (impl/paf_dechunk.c:81-86)
+    fix_target = not args.query
+    t = read_table(args)
+    if fix_query:
+        qn, qs, qe, ql = _dechunk_side(t.qname, t.qstart, t.qend, t.qlen)
+        t = replace(t, qname=qn, qstart=qs, qend=qe, qlen=ql)
+    if fix_target:
+        tn, ts, te, tl = _dechunk_side(t.tname, t.tstart, t.tend, t.tlen)
+        t = replace(t, tname=tn, tstart=ts, tend=te, tlen=tl)
+    pafio.paf_check(t)
+    write_table(t, args)
+    timer.done()
+    return 0
+
+
+def _upconvert_side(intervals, names, starts, ends, lengths):
+    """Rewrite one coordinate side into extracted-fragment space
+    (fix_interval, impl/paf_upconvert.c:52-69). Records not contained in any
+    fragment pass through unchanged."""
+    new_names = np.array(names, dtype=object)
+    new_starts = starts.copy()
+    new_ends = ends.copy()
+    new_lens = lengths.copy()
+    for i, nm in enumerate(names):
+        frags = intervals.get(nm)
+        if not frags:
+            continue
+        fs = [f[0] for f in frags]
+        k = bisect.bisect_right(fs, int(starts[i])) - 1
+        if k < 0:
+            continue
+        fstart, fend, flen = frags[k]
+        if int(starts[i]) > fend:  # start <= frag end is the containment rule
+            continue
+        if int(ends[i]) > fend:
+            raise pafio.PafCheckError(
+                f"alignment crosses extracted-fragment boundary: {nm} "
+                f"[{starts[i]},{ends[i]}) vs fragment [{fstart},{fend})")
+        new_names[i] = f"{nm}|{flen}|{fstart}"
+        new_starts[i] = starts[i] - fstart
+        new_ends[i] = ends[i] - fstart
+        new_lens[i] = flen
+    return new_names, new_starts, new_ends, new_lens
+
+
+def upconvert_main(argv) -> int:
+    p = base_parser("paffy upconvert",
+                    "Converts the coordinates of paf alignments to refer to "
+                    "extracted subsequences")
+    p.add_argument("fasta_files", nargs="*")
+    args = p.parse_args(argv)
+    timer = start(args, "Paf upconvert")
+    # read fragment intervals from extracted-FASTA headers
+    # (fastaRead_readCoordinates, impl/paf_upconvert.c:27-33): end = start +
+    # actual fragment length; length = decoded original sequence length
+    intervals: dict[str, list[tuple[int, int, int]]] = {}
+    for f in args.fasta_files:
+        for header, seq in read_fasta_list(f):
+            iv = decode_header(header)
+            intervals.setdefault(iv.name, []).append(
+                (iv.start, iv.start + len(seq), iv.length))
+    for v in intervals.values():
+        v.sort()
+    t = read_table(args)
+    qn, qs, qe, ql = _upconvert_side(intervals, t.qname, t.qstart, t.qend, t.qlen)
+    tn, ts, te, tl = _upconvert_side(intervals, t.tname, t.tstart, t.tend, t.tlen)
+    t = replace(t, qname=qn, qstart=qs, qend=qe, qlen=ql,
+                tname=tn, tstart=ts, tend=te, tlen=tl)
+    pafio.paf_check(t)
+    write_table(t, args)
+    timer.done()
+    return 0
+
+
+def split_file_main(argv) -> int:
+    p = base_parser("paffy split_file",
+                    "Split PAF file into separate output files by target "
+                    "(default) or query contig name", io=False)
+    p.add_argument("-i", "--inputFile", default=None)
+    p.add_argument("-p", "--prefix", default="split_")
+    p.add_argument("-q", "--query", action="store_true",
+                   help="Split by query contig name instead of target")
+    p.add_argument("-m", "--minLength", type=int, default=0,
+                   help="Small contigs are bin-packed into combined files")
+    args = p.parse_args(argv)
+    timer = start(args, "Paffy split_file")
+    t = read_table(args)
+    names = t.qname if args.query else t.tname
+    lengths = t.qlen if args.query else t.tlen
+
+    # first-fit-sequential bin packing of small contigs
+    # (impl/paf_split_file.c:142-169): a new small file opens when the current
+    # one's total assigned contig length would exceed minLength; all records
+    # of one contig stay together.
+    files: dict[str, list[int]] = {}     # path -> record indices
+    order: list[str] = []
+    contig_file: dict[str, str] = {}
+    small_idx = 0
+    small_total = 0
+    small_path = None
+    for i in range(len(t)):
+        nm = names[i]
+        path = contig_file.get(nm)
+        if path is None:
+            if args.minLength > 0 and int(lengths[i]) < args.minLength:
+                if small_path is None or small_total + int(lengths[i]) > args.minLength:
+                    small_path = f"{args.prefix}small_{small_idx}.paf"
+                    small_idx += 1
+                    small_total = 0
+                    log_info("Opened small contigs output file: %s", small_path)
+                small_total += int(lengths[i])
+                path = small_path
+            else:
+                path = f"{args.prefix}{nm.replace('/', '_')}.paf"
+                log_info("Opened output file: %s", path)
+            contig_file[nm] = path
+            if path not in files:
+                files[path] = []
+                order.append(path)
+        files[path].append(i)
+    for path in order:
+        with open(path, "w") as fh:
+            fh.write(pafio.serialize_paf(t.take(np.array(files[path], dtype=np.int64))))
+    log_info("Split %d records", len(t))
+    timer.done()
+    return 0

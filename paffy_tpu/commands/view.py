@@ -1,0 +1,166 @@
+"""paffy view: pretty print / stats oracle (reference: impl/paf_view.c).
+
+Pipeline: load FASTAs into the device sequence pool, mismatch-encode every
+record's M runs on device, then emit per-record stat lines, the optional
+3-row base-level alignment rendering (impl/paf.c:282-314), and the aggregate
+stats line with the -u/-v oracle thresholds (impl/paf_view.c:186-197).
+
+Behavior note: the reference only accumulates aggregate totals under -s, so
+running -u/-v without -s compares against 0/0=NaN and trips its assert; we
+accumulate always, which preserves every tested behavior and makes -u/-v
+meaningful standalone.
+"""
+
+from __future__ import annotations
+
+import sys
+import numpy as np
+
+from paffy_tpu.commands.common import base_parser, start, open_input, open_output
+from paffy_tpu.core import pafio
+from paffy_tpu.core.model import QUERY_INSERT, QUERY_DELETE
+from paffy_tpu.core.fasta import load_sequences, COMPLEMENT_TABLE, UPPER_TABLE, seq_to_bytes
+from paffy_tpu.ops.mismatch import SequencePool, encode_mismatches
+from paffy_tpu.ops.transforms import stats_calc
+from paffy_tpu.utils.logging import log_info
+
+
+def _f(x: float) -> str:
+    """C printf %f of a float value (6 decimals; NaN prints as nan)."""
+    v = float(x)
+    if v != v:
+        return "nan" if not str(x).startswith("-") else "-nan"
+    return f"{v:.6f}"
+
+
+def _ident(matches, mismatches):
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.float32(matches) / np.float32(matches + mismatches)
+
+
+def _ident_gaps(matches, mismatches, qib, qdb):
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.float32(matches) / np.float32(matches + mismatches + qib + qdb)
+
+
+def pretty_print_record(t, i, stats, out, include_alignment, seqs):
+    """Per-record stat line + optional alignment rendering
+    (paf_pretty_print, impl/paf.c:269-315)."""
+    m = int(stats["matches"][i])
+    x = int(stats["mismatches"][i])
+    qi = int(stats["query_inserts"][i])
+    qd = int(stats["query_deletes"][i])
+    qib = int(stats["query_insert_bases"][i])
+    qdb = int(stats["query_delete_bases"][i])
+    out.write(
+        f"Query:{t.qname[i]}\tQ-start:{t.qstart[i]}\tQ-length:{t.qend[i]-t.qstart[i]}"
+        f"\tTarget:{t.tname[i]}\tT-start:{t.tstart[i]}\tT-length:{t.tend[i]-t.tstart[i]}"
+        f"\tSame-strand:{int(t.strand[i])}\tScore:{t.score[i]}"
+        f"\tIdentity:{_f(_ident(m, x))}"
+        # the reference format string has no colon here (impl/paf.c:273)
+        f"\tIdentity-with-gaps{_f(_ident_gaps(m, x, qib, qdb))}"
+        f"\tAligned-bases:{m+x}\tQuery-inserts:{qi}\tQuery-deletes:{qd}\n")
+    if include_alignment:
+        _render_alignment(t, i, out, seqs)
+
+
+def _render_alignment(t, i, out, seqs):
+    """3-row alignment rendering in 150-column windows (impl/paf.c:282-314),
+    vectorized over the record's columns."""
+    ops, lens = t.record_ops(i)
+    if len(ops) == 0:
+        return
+    qb = seq_to_bytes(seqs[t.qname[i]])
+    tb = seq_to_bytes(seqs[t.tname[i]])
+    lens = lens.astype(np.int64)
+    n_cols = int(lens.sum())
+    col_off = np.concatenate([[0], np.cumsum(lens)])
+    col_op = np.searchsorted(col_off[1:], np.arange(n_cols), side="right")
+    rel = np.arange(n_cols) - col_off[col_op]
+    opc = ops[col_op]
+    # per-op exclusive prefixes of query/target consumption
+    q_excl = np.concatenate([[0], np.cumsum(np.where(ops != QUERY_DELETE, lens, 0))])[:-1]
+    t_excl = np.concatenate([[0], np.cumsum(np.where(ops != QUERY_INSERT, lens, 0))])[:-1]
+    tpos = int(t.tstart[i]) + t_excl[col_op] + rel
+    if t.strand[i]:
+        qpos = int(t.qstart[i]) + q_excl[col_op] + rel
+        qchar = qb[np.clip(qpos, 0, len(qb) - 1)]
+    else:
+        qpos = int(t.qend[i]) - 1 - (q_excl[col_op] + rel)
+        qchar = COMPLEMENT_TABLE[qb[np.clip(qpos, 0, len(qb) - 1)]]
+    tchar = tb[np.clip(tpos, 0, len(tb) - 1)]
+    dash = np.uint8(ord("-"))
+    trow = np.where(opc == QUERY_INSERT, dash, tchar)
+    qrow = np.where(opc == QUERY_DELETE, dash, qchar)
+    star = np.where(UPPER_TABLE[trow] == UPPER_TABLE[qrow], np.uint8(ord("*")),
+                    np.uint8(ord(" ")))
+    window = 150
+    for l in range(0, n_cols, window):
+        e = min(l + window, n_cols)
+        out.write(trow[l:e].tobytes().decode("latin-1") + "\n")
+        out.write(qrow[l:e].tobytes().decode("latin-1") + "\n")
+        out.write(star[l:e].tobytes().decode("latin-1") + "\n")
+
+
+def main(argv) -> int:
+    p = base_parser("paffy view", "Pretty print PAF alignments")
+    p.add_argument("fasta_files", nargs="*")
+    p.add_argument("-a", "--includeAlignment", action="store_true",
+                   help="Include base level alignment in output")
+    p.add_argument("-s", "--printAggregateStats", action="store_true",
+                   help="Print overall stats about the alignments at the end")
+    p.add_argument("-t", "--noPerAlignmentStats", action="store_true",
+                   help="Do not print stats about each paf")
+    p.add_argument("-u", "--errorIfIdentityLowerThanX", type=float, default=0.0)
+    p.add_argument("-v", "--errorIfAlignedBasesLowerThanX", type=int, default=0)
+    args = p.parse_args(argv)
+    timer = start(args, "Paffy view")
+
+    if not args.fasta_files:
+        print("Expected at least one sequence file", file=sys.stderr)
+        return 1
+    seqs = load_sequences(args.fasta_files)
+    log_info("Read %d sequences from sequence files", len(seqs))
+
+    fh = open_input(args)
+    t = pafio.parse_paf_text(fh.read())
+    if fh is not sys.stdin:
+        fh.close()
+
+    pool = SequencePool(seqs)
+    t = encode_mismatches(t, pool)
+    stats = stats_calc(t)
+
+    out = open_output(args)
+    try:
+        if not args.noPerAlignmentStats:
+            for i in range(len(t)):
+                pretty_print_record(t, i, stats, out, args.includeAlignment, seqs)
+        tm = int(stats["matches"].sum())
+        tx = int(stats["mismatches"].sum())
+        tqi = int(stats["query_inserts"].sum())
+        tqd = int(stats["query_deletes"].sum())
+        tqib = int(stats["query_insert_bases"].sum())
+        tqdb = int(stats["query_delete_bases"].sum())
+        if args.printAggregateStats:
+            out.write(
+                f"Total-alignments:{len(t)}\tAvg-Identity:{_f(_ident(tm, tx))}"
+                f"\tAvg-Identity-with-gaps:{_f(_ident_gaps(tm, tx, tqib, tqdb))}"
+                f"\tAligned-bases:{tm+tx}\tAligned-bases-with-gaps:{tm+tx+tqib+tqdb}"
+                f"\tQuery-inserts:{tqi}\tQuery-deletes:{tqd}\n")
+    finally:
+        if out is not sys.stdout:
+            out.close()
+
+    # -u/-v sanity oracle (impl/paf_view.c:196-197)
+    ident = _ident(tm, tx)
+    if not (ident >= np.float32(args.errorIfIdentityLowerThanX)):
+        print(f"Aggregate identity {ident} below threshold "
+              f"{args.errorIfIdentityLowerThanX}", file=sys.stderr)
+        return 1
+    if not (tm + tx >= args.errorIfAlignedBasesLowerThanX):
+        print(f"Aligned bases {tm+tx} below threshold "
+              f"{args.errorIfAlignedBasesLowerThanX}", file=sys.stderr)
+        return 1
+    timer.done()
+    return 0
