@@ -1,0 +1,83 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import pytest
+
+from paffy_tpu.core.pafio import parse_paf_text
+from paffy_tpu.ops.mismatch import SequencePool, column_match_counts
+from paffy_tpu.ops.transforms import stats_calc
+from paffy_tpu.parallel.pipeline import (make_mesh, shard_records,
+                                         sharded_view_stats,
+                                         column_counts_multichip)
+from synthdata import make_workload
+
+
+@pytest.fixture(scope="module")
+def cpu_devices():
+    devs = jax.devices("cpu")
+    if len(devs) < 8:
+        pytest.skip("need 8 virtual CPU devices")
+    return devs[:8]
+
+
+@pytest.fixture(scope="module")
+def workload():
+    seqs, lines = make_workload(seed=4, length=8000, n_windows=20,
+                                window=1200, step=330)
+    t = parse_paf_text("\n".join(lines) + "\n")
+    return t, SequencePool(seqs)
+
+
+def test_sharded_stats_match_single_device(cpu_devices, workload):
+    t, pool = workload
+    mesh = make_mesh(cpu_devices)          # 4x2 data x seq
+    m, x, totals = column_counts_multichip(t, pool, mesh)
+    m1, x1 = column_match_counts(t, pool)
+    assert np.array_equal(m, m1)
+    assert np.array_equal(x, x1)
+    assert int(totals[0]) == int(m1.sum())
+    assert int(totals[1]) == int(x1.sum())
+
+
+def test_mesh_shapes(cpu_devices):
+    mesh = make_mesh(cpu_devices)
+    assert mesh.shape["data"] * mesh.shape["seq"] == 8
+    mesh2 = make_mesh(cpu_devices, dp=8, sp=1)
+    assert mesh2.shape["data"] == 8
+
+
+def test_data_only_mesh(cpu_devices, workload):
+    t, pool = workload
+    mesh = make_mesh(cpu_devices, dp=8, sp=1)
+    m, x, _ = column_counts_multichip(t, pool, mesh)
+    m1, x1 = column_match_counts(t, pool)
+    assert np.array_equal(m, m1) and np.array_equal(x, x1)
+
+
+def test_graft_entry_single_chip():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    m, x = out
+    assert m.shape == x.shape
+    assert int(np.asarray(m).sum()) > 0
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
