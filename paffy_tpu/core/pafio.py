@@ -52,10 +52,58 @@ def parse_cigar_string(s: str) -> list[tuple[int, int]]:
 def parse_paf_text(text: str) -> PafTable:
     """Parse PAF text (one record per line) into a PafTable.
 
+    Dispatches to the native C++ tokenizer (paffy_tpu.native) when available,
+    falling back to the portable Python implementation below.
+
     The cigar is always parsed to ops (the reference's parse_cigar_string=0
     mode only defers parsing; the canonical re-serialization is identical for
     well-formed cigars, and every numeric transform needs ops anyway).
     """
+    table = _parse_native(text)
+    if table is not None:
+        return table
+    return _parse_python(text)
+
+
+def _parse_native(text: str) -> PafTable | None:
+    try:
+        from paffy_tpu import native
+    except ImportError:
+        return None
+    try:
+        res = native.parse_paf_bytes(text.encode("latin-1"))
+    except native.NativeParseError as e:
+        raise PafFormatError(str(e)) from e
+    except UnicodeEncodeError:
+        return None
+    if res is None:
+        return None
+    ints, flags, rtype, qnames, tnames, ops, lens, off = res
+    return PafTable(
+        qname=qnames, qlen=ints[:, 0].copy(), qstart=ints[:, 1].copy(),
+        qend=ints[:, 2].copy(), strand=(flags & 1).astype(bool),
+        tname=tnames, tlen=ints[:, 3].copy(), tstart=ints[:, 4].copy(),
+        tend=ints[:, 5].copy(), num_matches=ints[:, 6].copy(),
+        num_bases=ints[:, 7].copy(), mapq=ints[:, 8].copy(),
+        score=ints[:, 9].copy(), tile_level=ints[:, 10].copy(),
+        chain_id=ints[:, 11].copy(), chain_score=ints[:, 12].copy(),
+        type=rtype, has_cigar=(flags & 2).astype(bool),
+        ops=ops, lens=lens, off=off)
+
+
+def _table_to_arrays(t: PafTable):
+    n = len(t)
+    ints = np.empty((n, 13), dtype=np.int64)
+    ints[:, 0] = t.qlen; ints[:, 1] = t.qstart; ints[:, 2] = t.qend
+    ints[:, 3] = t.tlen; ints[:, 4] = t.tstart; ints[:, 5] = t.tend
+    ints[:, 6] = t.num_matches; ints[:, 7] = t.num_bases; ints[:, 8] = t.mapq
+    ints[:, 9] = t.score; ints[:, 10] = t.tile_level
+    ints[:, 11] = t.chain_id; ints[:, 12] = t.chain_score
+    flags = (t.strand.astype(np.uint8) | (t.has_cigar.astype(np.uint8) << 1))
+    return ints, flags
+
+
+def _parse_python(text: str) -> PafTable:
     lines = text.splitlines()
     n = sum(1 for ln in lines if ln)
     qname = np.empty(n, dtype=object)
@@ -161,7 +209,18 @@ def format_record(t: PafTable, i: int) -> str:
 
 
 def serialize_paf(t: PafTable) -> str:
-    """Serialize a whole table, one line per record, trailing newline per line."""
+    """Serialize a whole table, one line per record, trailing newline per
+    line.  Uses the native serializer when available."""
+    try:
+        from paffy_tpu import native
+    except ImportError:
+        native = None
+    if native is not None and len(t):
+        ints, flags = _table_to_arrays(t)
+        out = native.serialize_paf_arrays(ints, flags, t.type, t.qname,
+                                          t.tname, t.ops, t.lens, t.off)
+        if out is not None:
+            return out.decode("latin-1")
     return "".join(format_record(t, i) + "\n" for i in range(len(t)))
 
 

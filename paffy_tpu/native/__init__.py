@@ -1,0 +1,183 @@
+"""ctypes loader for the native C++ ingest/egress library.
+
+Builds lazily with g++ on first use (cached as libpaffy_io.so next to the
+source); every entry point has a pure-Python fallback in core.pafio, so the
+package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "paffy_io.cpp")
+_LIB = os.path.join(_DIR, "libpaffy_io.so")
+_lock = threading.Lock()
+_lib = None
+_failed = False
+
+_I64P = ctypes.POINTER(ctypes.c_longlong)
+_U8P = ctypes.POINTER(ctypes.c_ubyte)
+
+
+def _build() -> bool:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o",
+             _LIB + ".tmp"],
+            check=True, capture_output=True, timeout=120)
+        os.replace(_LIB + ".tmp", _LIB)
+        return True
+    except (subprocess.SubprocessError, OSError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """The loaded library, or None when native support is unavailable."""
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        if not _build():
+            _failed = True
+            return None
+        lib = ctypes.CDLL(_LIB)
+        lib.paf_scan.restype = ctypes.c_longlong
+        lib.paf_scan.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                 _I64P, _I64P, _I64P]
+        lib.paf_fill.restype = ctypes.c_longlong
+        lib.paf_fill.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                 _I64P, _U8P, _U8P, _I64P, _I64P,
+                                 ctypes.c_char_p, _U8P, _I64P, _I64P]
+        lib.paf_serialize.restype = ctypes.c_longlong
+        lib.paf_serialize.argtypes = [ctypes.c_longlong, _I64P, _U8P, _U8P,
+                                      _I64P, _I64P, ctypes.c_char_p,
+                                      _U8P, _I64P, _I64P, ctypes.c_char_p]
+        lib.paf_serialize_bound.restype = ctypes.c_longlong
+        lib.paf_serialize_bound.argtypes = [ctypes.c_longlong,
+                                            ctypes.c_longlong,
+                                            ctypes.c_longlong]
+        lib.column_compare_counts.restype = None
+        lib.column_compare_counts.argtypes = [_U8P, ctypes.c_longlong,
+                                              _I64P, _I64P, _I64P, _U8P,
+                                              _I64P, _I64P, _I64P]
+        _lib = lib
+        return _lib
+
+
+def _p_i64(a: np.ndarray):
+    return a.ctypes.data_as(_I64P)
+
+
+def _p_u8(a: np.ndarray):
+    return a.ctypes.data_as(_U8P)
+
+
+class NativeParseError(ValueError):
+    pass
+
+
+def parse_paf_bytes(data: bytes):
+    """Parse PAF text via the native tokenizer.
+
+    Returns the raw SoA arrays:
+    (ints[n,13], flags[n], type[n], qname list, tname list, ops, lens, off)
+    or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rec = ctypes.c_longlong()
+    n_ops = ctypes.c_longlong()
+    name_bytes = ctypes.c_longlong()
+    rc = lib.paf_scan(data, len(data), ctypes.byref(n_rec),
+                      ctypes.byref(n_ops), ctypes.byref(name_bytes))
+    if rc != 0:
+        raise NativeParseError(f"malformed PAF at line {rc}")
+    n, t_ops, nb = n_rec.value, n_ops.value, name_bytes.value
+    ints = np.empty((n, 13), dtype=np.int64)
+    flags = np.empty(n, dtype=np.uint8)
+    rtype = np.empty(n, dtype=np.uint8)
+    qoff = np.empty(n, dtype=np.int64)
+    toff = np.empty(n, dtype=np.int64)
+    pool = np.empty(max(nb, 1), dtype=np.uint8)
+    ops = np.empty(t_ops, dtype=np.uint8)
+    lens = np.empty(t_ops, dtype=np.int64)
+    off = np.empty(n + 1, dtype=np.int64)
+    rc = lib.paf_fill(data, len(data), _p_i64(ints), _p_u8(flags),
+                      _p_u8(rtype), _p_i64(qoff), _p_i64(toff),
+                      pool.ctypes.data_as(ctypes.c_char_p),
+                      _p_u8(ops), _p_i64(lens), _p_i64(off))
+    if rc != 0:
+        raise NativeParseError(f"malformed PAF at line {rc}")
+    raw = pool.tobytes()
+    qnames = np.empty(n, dtype=object)
+    tnames = np.empty(n, dtype=object)
+    for i in range(n):
+        qend = raw.index(b"\0", qoff[i])
+        qnames[i] = raw[qoff[i]: qend].decode("latin-1")
+        tend = raw.index(b"\0", toff[i])
+        tnames[i] = raw[toff[i]: tend].decode("latin-1")
+    return ints, flags, rtype, qnames, tnames, ops, lens, off
+
+
+def serialize_paf_arrays(ints, flags, rtype, qnames, tnames, ops, lens, off) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(flags)
+    # rebuild a NUL-separated name pool
+    enc_q = [q.encode("latin-1") for q in qnames]
+    enc_t = [t.encode("latin-1") for t in tnames]
+    qoff = np.zeros(n, dtype=np.int64)
+    toff = np.zeros(n, dtype=np.int64)
+    parts = []
+    pos = 0
+    for i in range(n):
+        qoff[i] = pos
+        parts.append(enc_q[i])
+        pos += len(enc_q[i]) + 1
+        toff[i] = pos
+        parts.append(enc_t[i])
+        pos += len(enc_t[i]) + 1
+    pool = b"\0".join(parts) + b"\0"
+    bound = int(lib.paf_serialize_bound(n, len(ops), len(pool)))
+    out = np.empty(bound, dtype=np.uint8)
+    ints = np.ascontiguousarray(ints, dtype=np.int64)
+    written = lib.paf_serialize(
+        n, _p_i64(ints), _p_u8(np.ascontiguousarray(flags)),
+        _p_u8(np.ascontiguousarray(rtype)), _p_i64(qoff), _p_i64(toff), pool,
+        _p_u8(np.ascontiguousarray(ops)),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
+        out.ctypes.data_as(ctypes.c_char_p))
+    return out[: int(written)].tobytes()
+
+
+def column_compare_counts(pool: np.ndarray, lens, qpos0, tpos0, rev, rec,
+                          n_records: int):
+    """Single-threaded C per-base column compare (benchmark baseline)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_mops = len(lens)
+    m = np.zeros(n_records, dtype=np.int64)
+    x = np.zeros(n_records, dtype=np.int64)
+    lib.column_compare_counts(
+        _p_u8(np.ascontiguousarray(pool)), n_mops,
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qpos0, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(tpos0, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(rec, dtype=np.int64)),
+        _p_i64(m), _p_i64(x))
+    return m, x

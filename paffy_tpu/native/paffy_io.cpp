@@ -1,0 +1,349 @@
+// Native host ingest/egress for paffy-tpu: PAF tokenizer and serializer.
+//
+// The reference's parser is a hand-rolled byte scanner precisely because
+// ingest is the hot host path (impl/paf.c:10-48,137-209); this module plays
+// that role for the TPU engine, producing the columnar SoA/CSR arrays that
+// ship straight to the device, and serializing them back byte-identically
+// (tag rules of impl/paf.c:317-389).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 dependency):
+//   two-pass protocol — pass 1 counts records/ops/name bytes, caller
+//   allocates numpy arrays, pass 2 fills them.
+//
+// Build: g++ -O3 -march=native -shared -fPIC paffy_io.cpp -o libpaffy_io.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+
+extern "C" {
+
+// ---------------------------------------------------------------- pass 1
+// Count lines, cigar ops and name bytes. Returns 0 on success, else the
+// (1-based) line number of the first malformed line.
+long long paf_scan(const char* buf, long long len,
+                   long long* n_records, long long* n_ops,
+                   long long* name_bytes) {
+    long long recs = 0, ops = 0, names = 0;
+    long long line_no = 0;
+    const char* p = buf;
+    const char* end = buf + len;
+    while (p < end) {
+        const char* eol = (const char*)memchr(p, '\n', end - p);
+        const char* le = eol ? eol : end;
+        ++line_no;
+        if (le == p) { p = le + 1; continue; }  // empty line
+        // field 0: query name
+        const char* t = (const char*)memchr(p, '\t', le - p);
+        if (!t) return line_no;
+        names += t - p + 1;
+        // skip fields 1-4 to target name (field 5)
+        const char* q = t + 1;
+        for (int f = 0; f < 4; ++f) {
+            q = (const char*)memchr(q, '\t', le - q);
+            if (!q) return line_no;
+            ++q;
+        }
+        t = (const char*)memchr(q, '\t', le - q);
+        if (!t) return line_no;
+        names += t - q + 1;
+        // find a cg:Z: tag and count its ops
+        const char* s = t;
+        while (s && s < le) {
+            const char* tag = (const char*)memchr(s, '\t', le - s);
+            if (!tag) break;
+            ++tag;
+            if (le - tag >= 5 && tag[0] == 'c' && tag[1] == 'g' &&
+                tag[2] == ':' && tag[4] == ':') {
+                const char* c = tag + 5;
+                const char* ce = (const char*)memchr(c, '\t', le - c);
+                if (!ce) ce = le;
+                for (const char* x = c; x < ce; ++x) {
+                    char ch = *x;
+                    if (ch == 'M' || ch == 'I' || ch == 'D' || ch == '=' ||
+                        ch == 'X') ++ops;
+                    else if (ch < '0' || ch > '9') return line_no;
+                }
+                break;
+            }
+            s = tag;
+        }
+        ++recs;
+        p = le + 1;
+    }
+    *n_records = recs;
+    *n_ops = ops;
+    *name_bytes = names;
+    return 0;
+}
+
+static inline long long parse_i64(const char* s, const char* e) {
+    long long v = 0;
+    bool neg = false;
+    if (s < e && *s == '-') { neg = true; ++s; }
+    while (s < e && *s >= '0' && *s <= '9') v = v * 10 + (*s++ - '0');
+    return neg ? -v : v;
+}
+
+// ---------------------------------------------------------------- pass 2
+// Fill the SoA arrays. ints layout (per record, int64):
+//   qlen qstart qend tlen tstart tend nmatch nbases mapq score tile chain cs
+// flags: bit0 strand('+'), bit1 has_cigar; type: uint8.
+// qname_off/tname_off index into the name_pool (NUL-terminated strings).
+// Returns 0 on success or the 1-based line number of the first bad line.
+long long paf_fill(const char* buf, long long len,
+                   long long* ints,          // [n_records * 13]
+                   unsigned char* flags,     // [n_records]
+                   unsigned char* type,      // [n_records]
+                   long long* qname_off, long long* tname_off,
+                   char* name_pool,
+                   unsigned char* ops, long long* op_lens,
+                   long long* cig_off       // [n_records + 1]
+) {
+    long long rec = 0, op = 0, npos = 0;
+    long long line_no = 0;
+    const char* p = buf;
+    const char* end = buf + len;
+    cig_off[0] = 0;
+    while (p < end) {
+        const char* eol = (const char*)memchr(p, '\n', end - p);
+        const char* le = eol ? eol : end;
+        ++line_no;
+        if (le == p) { p = le + 1; continue; }
+        const char* f[13];
+        int nf = 0;
+        const char* s = p;
+        while (nf < 12) {
+            f[nf++] = s;
+            const char* t = (const char*)memchr(s, '\t', le - s);
+            if (!t) { if (nf < 12) { f[nf] = le; } break; }
+            s = t + 1;
+        }
+        if (nf < 12) return line_no;
+        const char* fe[12];
+        for (int k = 0; k < 11; ++k) fe[k] = f[k + 1] - 1;  // tab positions
+        {   // field 11 ends at the next tab (tags follow) or at line end
+            const char* t = (const char*)memchr(f[11], '\t', le - f[11]);
+            fe[11] = t ? t : le;
+        }
+
+        long long* R = ints + rec * 13;
+        // names
+        qname_off[rec] = npos;
+        memcpy(name_pool + npos, f[0], fe[0] - f[0]);
+        npos += fe[0] - f[0];
+        name_pool[npos++] = '\0';
+        tname_off[rec] = npos;
+        memcpy(name_pool + npos, f[5], fe[5] - f[5]);
+        npos += fe[5] - f[5];
+        name_pool[npos++] = '\0';
+        // mandatory ints
+        R[0] = parse_i64(f[1], fe[1]);
+        R[1] = parse_i64(f[2], fe[2]);
+        R[2] = parse_i64(f[3], fe[3]);
+        char strand = *f[4];
+        if (strand != '+' && strand != '-') return line_no;
+        R[3] = parse_i64(f[6], fe[6]);
+        R[4] = parse_i64(f[7], fe[7]);
+        R[5] = parse_i64(f[8], fe[8]);
+        R[6] = parse_i64(f[9], fe[9]);
+        R[7] = parse_i64(f[10], fe[10]);
+        R[8] = parse_i64(f[11], fe[11]);
+        // defaults (impl/paf.c:138,175-177)
+        R[9] = 0; R[10] = -1; R[11] = -1; R[12] = -1;
+        unsigned char fl = (strand == '+') ? 1 : 0;
+        type[rec] = 0;
+        // tags
+        const char* tg = fe[11];
+        while (tg < le && *tg == '\t') {
+            ++tg;
+            const char* te = (const char*)memchr(tg, '\t', le - tg);
+            if (!te) te = le;
+            if (te - tg >= 5 && tg[2] == ':' && tg[4] == ':') {
+                const char* v = tg + 5;
+                if (tg[0] == 't' && tg[1] == 'p') {
+                    char c = *v;
+                    if (c != 'P' && c != 'S' && c != 'I') return line_no;
+                    type[rec] = (unsigned char)c;
+                } else if (tg[0] == 'A' && tg[1] == 'S') {
+                    R[9] = parse_i64(v, te);
+                } else if (tg[0] == 't' && tg[1] == 'l') {
+                    R[10] = parse_i64(v, te);
+                } else if (tg[0] == 'c' && tg[1] == 'n') {
+                    R[11] = parse_i64(v, te);
+                } else if (tg[0] == 's' && tg[1] == '1') {
+                    R[12] = parse_i64(v, te);
+                } else if (tg[0] == 'c' && tg[1] == 'g') {
+                    long long op0 = op;
+                    long long ln = 0;
+                    for (const char* x = v; x < te; ++x) {
+                        char ch = *x;
+                        if (ch >= '0' && ch <= '9') {
+                            ln = ln * 10 + (ch - '0');
+                        } else {
+                            unsigned char code;
+                            switch (ch) {
+                                case 'M': code = 0; break;
+                                case 'I': code = 1; break;
+                                case 'D': code = 2; break;
+                                case '=': code = 3; break;
+                                case 'X': code = 4; break;
+                                default: return line_no;
+                            }
+                            ops[op] = code;
+                            op_lens[op] = ln;
+                            ++op;
+                            ln = 0;
+                        }
+                    }
+                    if (op > op0) fl |= 2;
+                }
+            }
+            tg = te;
+        }
+        flags[rec] = fl;
+        cig_off[rec + 1] = op;
+        ++rec;
+        p = le + 1;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------- serialization
+
+static inline char* write_i64(char* b, long long v) {
+    if (v == 0) { *b++ = '0'; return b; }
+    char tmp[24];
+    int n = 0;
+    bool neg = v < 0;
+    unsigned long long u = neg ? (unsigned long long)(-v) : (unsigned long long)v;
+    while (u) { tmp[n++] = '0' + (char)(u % 10); u /= 10; }
+    if (neg) *b++ = '-';
+    while (n) *b++ = tmp[--n];
+    return b;
+}
+
+// Serialize records into out; returns total bytes written.
+// Caller guarantees capacity (use paf_serialize_bound).
+long long paf_serialize(long long n_records,
+                        const long long* ints, const unsigned char* flags,
+                        const unsigned char* type,
+                        const long long* qname_off, const long long* tname_off,
+                        const char* name_pool,
+                        const unsigned char* ops, const long long* op_lens,
+                        const long long* cig_off,
+                        char* out) {
+    static const char opch[5] = {'M', 'I', 'D', '=', 'X'};
+    char* b = out;
+    for (long long i = 0; i < n_records; ++i) {
+        const long long* R = ints + i * 13;
+        const char* qn = name_pool + qname_off[i];
+        size_t ql = strlen(qn);
+        memcpy(b, qn, ql); b += ql;
+        *b++ = '\t';
+        b = write_i64(b, R[0]); *b++ = '\t';
+        b = write_i64(b, R[1]); *b++ = '\t';
+        b = write_i64(b, R[2]); *b++ = '\t';
+        *b++ = (flags[i] & 1) ? '+' : '-'; *b++ = '\t';
+        const char* tn = name_pool + tname_off[i];
+        size_t tl = strlen(tn);
+        memcpy(b, tn, tl); b += tl;
+        *b++ = '\t';
+        b = write_i64(b, R[3]); *b++ = '\t';
+        b = write_i64(b, R[4]); *b++ = '\t';
+        b = write_i64(b, R[5]); *b++ = '\t';
+        b = write_i64(b, R[6]); *b++ = '\t';
+        b = write_i64(b, R[7]); *b++ = '\t';
+        b = write_i64(b, R[8]);
+        // tag emission rules (impl/paf.c:343-389)
+        if (type[i] != 0 || R[10] != -1) {
+            char c = type[i] ? (char)type[i] : (R[10] > 1 ? 'S' : 'P');
+            memcpy(b, "\ttp:A:", 6); b += 6;
+            *b++ = c;
+        }
+        if (R[9] != 2147483647LL) {
+            memcpy(b, "\tAS:i:", 6); b += 6;
+            b = write_i64(b, R[9]);
+        }
+        if (R[10] != -1) {
+            memcpy(b, "\ttl:i:", 6); b += 6;
+            b = write_i64(b, R[10]);
+        }
+        if (R[11] != -1) {
+            memcpy(b, "\tcn:i:", 6); b += 6;
+            b = write_i64(b, R[11]);
+        }
+        if (R[12] != -1) {
+            memcpy(b, "\ts1:i:", 6); b += 6;
+            b = write_i64(b, R[12]);
+        }
+        if (flags[i] & 2) {
+            memcpy(b, "\tcg:Z:", 6); b += 6;
+            for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k) {
+                b = write_i64(b, op_lens[k]);
+                *b++ = opch[ops[k]];
+            }
+        }
+        *b++ = '\n';
+    }
+    return b - out;
+}
+
+// Upper bound on serialized size.
+long long paf_serialize_bound(long long n_records, long long n_ops,
+                              long long name_pool_bytes) {
+    return n_records * 320 + n_ops * 22 + name_pool_bytes * 2;
+}
+
+// ------------------------------------------------- CPU column compare loop
+// Reference-style per-base mismatch counting (the inner loop of
+// paf_encode_mismatches, impl/paf.c:754-768) over the flat M-run arrays —
+// the single-threaded C comparison point for the TPU kernel benchmark.
+
+static unsigned char UPPER_TBL[256];
+static unsigned char COMP_TBL[256];
+static bool tables_init = false;
+
+static void init_tables() {
+    if (tables_init) return;
+    for (int i = 0; i < 256; ++i) {
+        UPPER_TBL[i] = (i >= 'a' && i <= 'z') ? i - 32 : i;
+        COMP_TBL[i] = i;
+    }
+    const char* a = "acgtmrwsykvhdbnxACGTMRWSYKVHDBNX";
+    const char* b = "tgcakywsrmbdhvnxTGCAKYWSRMBDHVNX";
+    for (int i = 0; a[i]; ++i) COMP_TBL[(unsigned char)a[i]] = b[i];
+    tables_init = true;
+}
+
+// Count matching/mismatching columns per record over n_mops M runs.
+void column_compare_counts(const unsigned char* pool,
+                           long long n_mops,
+                           const long long* lens,
+                           const long long* qpos0,
+                           const long long* tpos0,
+                           const unsigned char* rev,
+                           const long long* rec,
+                           long long* m_out, long long* x_out) {
+    init_tables();
+    for (long long j = 0; j < n_mops; ++j) {
+        const long long L = lens[j];
+        const unsigned char* tp = pool + tpos0[j];
+        long long m = 0;
+        if (rev[j]) {
+            const unsigned char* qp = pool + qpos0[j];
+            for (long long i = 0; i < L; ++i) {
+                m += UPPER_TBL[tp[i]] == UPPER_TBL[COMP_TBL[qp[-i]]];
+            }
+        } else {
+            const unsigned char* qp = pool + qpos0[j];
+            for (long long i = 0; i < L; ++i) {
+                m += UPPER_TBL[tp[i]] == UPPER_TBL[qp[i]];
+            }
+        }
+        m_out[rec[j]] += m;
+        x_out[rec[j]] += L - m;
+    }
+}
+
+}  // extern "C"

@@ -30,8 +30,28 @@ from paffy_tpu.core.segsum import segment_sums_by_offsets
 from paffy_tpu.ops.segments import (build_m_column_batch, columns_to_ops,
                                     bucket_size, pad_to)
 
-_UPPER_J = jnp.asarray(UPPER_TABLE)
-_COMP_J = jnp.asarray(COMPLEMENT_TABLE)
+def device_upper(c):
+    """toupper as arithmetic (a 256-entry table gather with ~1e8 u8 indices
+    serializes on TPU — measured 8.5s/call; this select runs at VPU speed)."""
+    return jnp.where((c >= 97) & (c <= 122), c - 32, c)
+
+
+# complement pairs over UPPERCASED bases (IUPAC; W/S/N/X are self-complement)
+_COMP_PAIRS = ((65, 84), (67, 71), (77, 75), (82, 89), (86, 66), (72, 68))
+
+
+def device_comp_upper(cu):
+    """Complement of an uppercased base as a select chain (table-free).
+
+    Equivalent to toupper(stString_reverseComplementChar(c)) because the
+    complement table is case-symmetric; characters outside the IUPAC set map
+    to themselves in both formulations.
+    """
+    out = cu
+    for a, b in _COMP_PAIRS:
+        out = jnp.where(cu == a, jnp.uint8(b),
+                        jnp.where(cu == b, jnp.uint8(a), out))
+    return out
 
 
 @partial(jax.jit, static_argnames=("c_pad",))
@@ -48,25 +68,34 @@ def _column_compare(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad):
     qpos = qpos0[col_op] + jnp.where(rev[col_op], -i, i)
     # clamp for padded columns (gathers must stay in-bounds)
     limit = pool.shape[0] - 1
-    tb = pool[jnp.clip(tpos, 0, limit)]
-    qb = pool[jnp.clip(qpos, 0, limit)]
-    qb = jnp.where(rev[col_op], _COMP_J[qb], qb)
-    is_match = _UPPER_J[tb] == _UPPER_J[qb]
+    tb = device_upper(pool[jnp.clip(tpos, 0, limit)])
+    qb = device_upper(pool[jnp.clip(qpos, 0, limit)])
+    qb = jnp.where(rev[col_op], device_comp_upper(qb), qb)
+    is_match = tb == qb
     return is_match, col_op, valid
 
 
-@partial(jax.jit, static_argnames=("c_pad", "n_records"))
-def _column_match_counts(pool, lens, qpos0, tpos0, rev, col_off, rec, n_cols,
-                         c_pad, n_records):
-    """Fused: per-record (match, mismatch) column counts over all M runs."""
+@partial(jax.jit, static_argnames=("c_pad",))
+def _column_match_counts(pool, lens, qpos0, tpos0, rev, col_off, rec_col_off,
+                         n_cols, c_pad):
+    """Fused: per-record (match, mismatch) column counts over all M runs.
+
+    Columns are laid out in record order, so the per-record reduction is a
+    cumsum + gather at the record column boundaries (rec_col_off) — scatter
+    segment-sums with ~1e8 update elements serialize on TPU and must not be
+    used here.
+    """
     is_match, col_op, valid = _column_compare(
         pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad)
-    rec_of_col = rec[col_op]
-    m = jax.ops.segment_sum((is_match & valid).astype(jnp.int64), rec_of_col,
-                            num_segments=n_records)
-    x = jax.ops.segment_sum((~is_match & valid).astype(jnp.int64), rec_of_col,
-                            num_segments=n_records)
-    return m, x
+    cm = jnp.cumsum((is_match & valid).astype(jnp.int32))
+    cv = jnp.cumsum(valid.astype(jnp.int32))
+    zero = jnp.zeros(1, dtype=jnp.int32)
+    cm0 = jnp.concatenate([zero, cm])
+    cv0 = jnp.concatenate([zero, cv])
+    bounds = jnp.clip(rec_col_off, 0, c_pad)
+    m = (cm0[bounds[1:]] - cm0[bounds[:-1]]).astype(jnp.int64)
+    tot = (cv0[bounds[1:]] - cv0[bounds[:-1]]).astype(jnp.int64)
+    return m, tot - m
 
 
 @partial(jax.jit, static_argnames=("c_pad",))
@@ -118,8 +147,8 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
         return z, z.copy()
     m, x = _column_match_counts(
         pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0), jnp.asarray(b.tpos0),
-        jnp.asarray(b.rev), jnp.asarray(b.col_off), jnp.asarray(b.rec),
-        b.n_cols, c_pad=b.n_cols_pad, n_records=len(t))
+        jnp.asarray(b.rev), jnp.asarray(b.col_off), jnp.asarray(b.rec_col_off),
+        b.n_cols, c_pad=b.n_cols_pad)
     return np.asarray(m), np.asarray(x)
 
 

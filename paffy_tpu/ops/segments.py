@@ -48,6 +48,10 @@ class MColumnBatch:
                        run's first column on query/target
       rev            — True iff query walks backward (opposite strand)
       col_off        — exclusive cumsum of lens (length n_mops_pad+1)
+    ``rec_col_off`` maps record -> first column index ([n_records+1]): columns
+    are laid out in record order, so per-record column reductions are a cumsum
+    + boundary gather (the TPU-friendly form — scatter-based segment sums with
+    1e8 update elements serialize on TPU).
     ``n_cols`` is the true column count; device tensors use ``n_cols_pad``.
     """
 
@@ -57,6 +61,7 @@ class MColumnBatch:
     tpos0: np.ndarray
     rev: np.ndarray
     col_off: np.ndarray
+    rec_col_off: np.ndarray
     flat_idx: np.ndarray  # index of each M op in the batch's flat op arrays
     n_mops: int
     n_cols: int
@@ -101,6 +106,11 @@ def build_m_column_batch(t: PafTable, qpool_off: np.ndarray, tpool_off: np.ndarr
 
     col_off = np.zeros(mop_pad + 1, dtype=np.int64)
     np.cumsum(pad_to(mlens, mop_pad), out=col_off[1:])
+    # record -> first column index (records' M ops are contiguous and in
+    # record order; empty records inherit the next record's boundary)
+    first_mop = np.searchsorted(rec, np.arange(len(t) + 1), side="left")
+    rec_col_off = col_off[np.minimum(first_mop, mop_pad)]
+    rec_col_off[-1] = n_cols
     return MColumnBatch(
         lens=pad_to(mlens, mop_pad),
         rec=pad_to(rec.astype(np.int64), mop_pad, fill=max(len(t) - 1, 0)),
@@ -108,6 +118,7 @@ def build_m_column_batch(t: PafTable, qpool_off: np.ndarray, tpool_off: np.ndarr
         tpos0=pad_to(tpos0, mop_pad),
         rev=pad_to(~strand, mop_pad, fill=False),
         col_off=col_off,
+        rec_col_off=rec_col_off,
         flat_idx=m,
         n_mops=n_mops, n_cols=n_cols, n_cols_pad=col_pad)
 

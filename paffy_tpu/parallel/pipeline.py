@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from paffy_tpu.core.model import PafTable
-from paffy_tpu.ops.mismatch import SequencePool, _UPPER_J, _COMP_J
+from paffy_tpu.ops.mismatch import SequencePool, device_upper, device_comp_upper
 from paffy_tpu.ops.segments import build_m_column_batch, bucket_size, pad_to
 
 
@@ -63,6 +63,7 @@ class ShardedColumnBatch:
     tpos0: np.ndarray
     rev: np.ndarray
     col_off: np.ndarray
+    rec_col_off: np.ndarray       # [G, rec_pad+1] record column boundaries
     n_cols: np.ndarray
     group_of_record: np.ndarray   # [N] original record -> group
     index_in_group: np.ndarray    # [N] original record -> local slot
@@ -97,22 +98,27 @@ def shard_records(t: PafTable, pool: SequencePool, n_groups: int) -> ShardedColu
 
     col_off = np.stack([pad_to(b.col_off, mop_pad + 1, fill=b.col_off[-1])
                         for b in batches])
+    rec_col_off = np.stack([pad_to(b.rec_col_off, rec_pad + 1, fill=b.n_cols)
+                            for b in batches])
     return ShardedColumnBatch(
         lens=stack("lens"), rec=stack("rec"), qpos0=stack("qpos0"),
         tpos0=stack("tpos0"), rev=stack("rev", fill=False), col_off=col_off,
+        rec_col_off=rec_col_off,
         n_cols=np.array([b.n_cols for b in batches], dtype=np.int64),
         group_of_record=group_of_record, index_in_group=index_in_group,
         c_pad=c_pad, rec_pad=rec_pad)
 
 
 def _batched_group_stats(pool, lens, rec, qpos0, tpos0, rev, col_off, n_cols,
-                         c_pad, rec_pad, col_spec=None):
+                         rec_col_off, c_pad, rec_pad, col_spec=None):
     """Column compare + per-record reduction for G record groups at once.
 
     All per-group tensors carry a leading group axis (sharded over ``data``);
     the expanded column tensors [G, c_pad] additionally carry the ``seq``
     sharding on their column axis (col_spec), so the per-base work splits
-    across both mesh axes and XLA inserts the cross-seq reductions.
+    across both mesh axes and XLA inserts the cross-seq reductions.  The
+    per-record reduction is a per-group cumsum + gather at record column
+    boundaries (scatter segment-sums over the column axis serialize on TPU).
     """
     g = lens.shape[0]
 
@@ -134,17 +140,22 @@ def _batched_group_stats(pool, lens, rec, qpos0, tpos0, rev, col_off, n_cols,
     valid = constrain(cols < n_cols[:, None])
     limit = pool.shape[0] - 1
     rev_c = take(rev)
-    tb = pool[jnp.clip(take(tpos0) + i, 0, limit)]
-    qb = pool[jnp.clip(take(qpos0) + jnp.where(rev_c, -i, i), 0, limit)]
-    qb = jnp.where(rev_c, _COMP_J[qb], qb)
-    is_match = constrain(_UPPER_J[tb] == _UPPER_J[qb])
+    tb = device_upper(pool[jnp.clip(take(tpos0) + i, 0, limit)])
+    qb = device_upper(pool[jnp.clip(take(qpos0) + jnp.where(rev_c, -i, i), 0, limit)])
+    qb = jnp.where(rev_c, device_comp_upper(qb), qb)
+    is_match = constrain(tb == qb)
 
-    recs = take(rec) + jnp.arange(g, dtype=jnp.int64)[:, None] * rec_pad
-    m = jax.ops.segment_sum((is_match & valid).reshape(-1).astype(jnp.int64),
-                            recs.reshape(-1), num_segments=g * rec_pad)
-    x = jax.ops.segment_sum((~is_match & valid).reshape(-1).astype(jnp.int64),
-                            recs.reshape(-1), num_segments=g * rec_pad)
-    return m.reshape(g, rec_pad), x.reshape(g, rec_pad)
+    cm = jnp.cumsum((is_match & valid).astype(jnp.int32), axis=1)
+    cv = jnp.cumsum(valid.astype(jnp.int32), axis=1)
+    zero = jnp.zeros((g, 1), dtype=jnp.int32)
+    cm0 = jnp.concatenate([zero, cm], axis=1)
+    cv0 = jnp.concatenate([zero, cv], axis=1)
+    bounds = jnp.clip(rec_col_off, 0, c_pad)
+    m = (jnp.take_along_axis(cm0, bounds[:, 1:], axis=1)
+         - jnp.take_along_axis(cm0, bounds[:, :-1], axis=1)).astype(jnp.int64)
+    tot = (jnp.take_along_axis(cv0, bounds[:, 1:], axis=1)
+           - jnp.take_along_axis(cv0, bounds[:, :-1], axis=1)).astype(jnp.int64)
+    return m, tot - m
 
 
 def sharded_view_stats(mesh: Mesh, pool_arr, b: ShardedColumnBatch):
@@ -157,18 +168,19 @@ def sharded_view_stats(mesh: Mesh, pool_arr, b: ShardedColumnBatch):
     col2d = NamedSharding(mesh, P("data", "seq"))
 
     @partial(jax.jit,
-             in_shardings=(repl, data, data, data, data, data, data, data),
+             in_shardings=(repl, data, data, data, data, data, data, data, data),
              out_shardings=(data, data, repl))
-    def step(pool, lens, rec, qpos0, tpos0, rev, col_off, n_cols):
+    def step(pool, lens, rec, qpos0, tpos0, rev, col_off, n_cols, rec_col_off):
         m, x = _batched_group_stats(pool, lens, rec, qpos0, tpos0, rev,
-                                    col_off, n_cols, b.c_pad, b.rec_pad,
-                                    col_spec=col2d)
+                                    col_off, n_cols, rec_col_off,
+                                    b.c_pad, b.rec_pad, col_spec=col2d)
         totals = jnp.stack([jnp.sum(m), jnp.sum(x)])
         return m, x, totals
 
     return step(pool_arr, jnp.asarray(b.lens), jnp.asarray(b.rec),
                 jnp.asarray(b.qpos0), jnp.asarray(b.tpos0), jnp.asarray(b.rev),
-                jnp.asarray(b.col_off), jnp.asarray(b.n_cols))
+                jnp.asarray(b.col_off), jnp.asarray(b.n_cols),
+                jnp.asarray(b.rec_col_off))
 
 
 def column_counts_multichip(t: PafTable, pool: SequencePool, mesh: Mesh):
