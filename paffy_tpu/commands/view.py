@@ -20,7 +20,7 @@ from paffy_tpu.commands.common import base_parser, start, open_input, open_outpu
 from paffy_tpu.core import pafio
 from paffy_tpu.core.model import QUERY_INSERT, QUERY_DELETE
 from paffy_tpu.core.fasta import load_sequences, COMPLEMENT_TABLE, UPPER_TABLE, seq_to_bytes
-from paffy_tpu.ops.mismatch import SequencePool, encode_mismatches
+from paffy_tpu.ops.mismatch import SequencePool, column_match_counts
 from paffy_tpu.ops.transforms import stats_calc
 from paffy_tpu.utils.logging import log_info
 
@@ -127,9 +127,22 @@ def main(argv) -> int:
     if fh is not sys.stdin:
         fh.close()
 
+    # Fused stats: the per-column match/mismatch counts come straight from
+    # the device kernel; the re-encoded cigar is never materialized (the
+    # reference encodes then walks the cigar, impl/paf_view.c:167-178 — the
+    # stats are identical).
     pool = SequencePool(seqs)
-    t = encode_mismatches(t, pool)
     stats = stats_calc(t)
+    try:
+        m_cols, x_cols = column_match_counts(t, pool)
+    except KeyError as e:
+        print(str(e.args[0]), file=sys.stderr)
+        return 1
+    is_m = t.ops == 0  # MATCH op lens were counted as matches; replace with
+    from paffy_tpu.core.segsum import segment_sums_by_offsets
+    m_op_lens = segment_sums_by_offsets(np.where(is_m, t.lens, 0), t.off)
+    stats["matches"] = stats["matches"] - m_op_lens + m_cols
+    stats["mismatches"] = stats["mismatches"] + x_cols
 
     out = open_output(args)
     try:

@@ -115,6 +115,32 @@ def _column_runs(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad):
     return boundary, is_match, valid
 
 
+@partial(jax.jit, static_argnames=("c_pad",))
+def _count_runs(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad):
+    boundary, _, _ = _column_runs.__wrapped__(
+        pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad)
+    return jnp.sum(boundary.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("c_pad", "r_pad"))
+def _extract_runs(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad, r_pad):
+    """Compact the =/X run decomposition on device.
+
+    Returns (starts[r_pad], vals[r_pad]): the column index of each run start
+    and its match state.  Compaction is gather-side (binary search into the
+    boundary prefix sum) — scatter-side compaction of 1e8 columns would
+    serialize on TPU, and this keeps the host transfer at O(runs) instead of
+    O(columns).
+    """
+    boundary, is_match, _ = _column_runs.__wrapped__(
+        pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad)
+    cs = jnp.cumsum(boundary.astype(jnp.int32))
+    ranks = jnp.arange(1, r_pad + 1, dtype=jnp.int32)
+    starts = jnp.searchsorted(cs, ranks, side="left")
+    starts_c = jnp.clip(starts, 0, c_pad - 1)
+    return starts, is_match[starts_c]
+
+
 class SequencePool:
     """Device-resident packed FASTA: one uint8 HBM array + name index."""
 
@@ -152,22 +178,35 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
     return np.asarray(m), np.asarray(x)
 
 
+COMPACT_THRESHOLD = 1 << 22  # above this many columns, extract runs on device
+
+
 def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
     """paf_encode_mismatches over a whole batch: M runs become =/X runs; all
     other ops pass through unchanged in place."""
     b = _prepare(t, pool)
     if b.n_cols == 0:
         return t
-    boundary, is_match, valid = _column_runs(
-        pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0), jnp.asarray(b.tpos0),
-        jnp.asarray(b.rev), jnp.asarray(b.col_off), b.n_cols, c_pad=b.n_cols_pad)
-    boundary = np.asarray(boundary[: b.n_cols])
-    is_match = np.asarray(is_match[: b.n_cols])
+    args = (pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0),
+            jnp.asarray(b.tpos0), jnp.asarray(b.rev), jnp.asarray(b.col_off),
+            b.n_cols)
+    if b.n_cols >= COMPACT_THRESHOLD:
+        # two-phase compact extraction: count runs, then gather run starts —
+        # the host transfer stays O(runs), not O(columns)
+        n_runs = int(_count_runs(*args, c_pad=b.n_cols_pad))
+        r_pad = bucket_size(max(n_runs, 1))
+        starts_d, vals_d = _extract_runs(*args, c_pad=b.n_cols_pad, r_pad=r_pad)
+        starts = np.asarray(starts_d[:n_runs])
+        match_at_start = np.asarray(vals_d[:n_runs])
+    else:
+        boundary, is_match, valid = _column_runs(*args, c_pad=b.n_cols_pad)
+        boundary = np.asarray(boundary[: b.n_cols])
+        starts = np.nonzero(boundary)[0]
+        match_at_start = np.asarray(is_match[: b.n_cols])[starts]
 
     # --- host: rebuild the CSR store with M runs replaced by their =/X runs
-    starts = np.nonzero(boundary)[0]
     run_lens = np.diff(np.append(starts, b.n_cols))
-    run_ops = np.where(is_match[starts], np.uint8(SEQ_MATCH), np.uint8(SEQ_MISMATCH))
+    run_ops = np.where(match_at_start, np.uint8(SEQ_MATCH), np.uint8(SEQ_MISMATCH))
     # owning original flat-op index of each run
     col_to_mop = np.searchsorted(b.col_off[1: b.n_mops + 1], starts, side="right")
     run_flat = b.flat_idx[col_to_mop]

@@ -33,6 +33,13 @@ from paffy_tpu.ops.coverage import match_intervals, SATURATION, EMPTY_TILE_LEVEL
 from paffy_tpu.ops.segments import bucket_size
 
 
+def _level_bits(lmax: int) -> int:
+    b = 0
+    while (1 << b) < lmax:
+        b += 1
+    return max(b, 1)
+
+
 @partial(jax.jit, static_argnames=("span", "lmax", "total"))
 def _tile_scan(starts, iv_start, iv_end, span, lmax, total):
     """Run the greedy tile sweep.
@@ -55,16 +62,26 @@ def _tile_scan(starts, iv_start, iv_end, span, lmax, total):
         diff = diff.at[ive].add(-ones, mode="drop")
         mask = jnp.cumsum(diff)[:span]
         new_window = jnp.minimum(window + mask, SATURATION)
-        # histogram of post-increment counts over the record's aligned bases
-        levels = jnp.clip(new_window, 0, lmax - 1)
-        hist = jax.ops.segment_sum(mask.astype(jnp.int64), levels,
-                                   num_segments=lmax)
         matches = jnp.sum(mask.astype(jnp.int64))
-        cum = jnp.cumsum(hist)
-        # median: first level with cumulative count >= matches/2.0
-        # (impl/paf_tile.c:81-89; float compare as in the C code)
-        ok = cum.astype(jnp.float64) >= matches.astype(jnp.float64) / 2.0
-        median = jnp.argmax(ok)  # first True
+        # median: smallest level L with |{masked bases with count <= L}| >=
+        # matches/2.0 (impl/paf_tile.c:81-89, float compare as in C).
+        # Binary search over the level range — a scatter histogram over the
+        # window would serialize on TPU.
+        half = matches.astype(jnp.float64) / 2.0
+        mask_b = mask > 0
+
+        def probe(L):
+            return jnp.sum((mask_b & (new_window <= L)).astype(jnp.int64))
+
+        def bisect(carry, bit):
+            lo = carry
+            mid = lo + jnp.left_shift(jnp.int64(1), bit)
+            # f(mid-1) < half  ->  median > mid-1  ->  keep the bit
+            lo = jnp.where(probe(mid - 1).astype(jnp.float64) < half, mid, lo)
+            return lo, None
+
+        bits = jnp.arange(_level_bits(lmax) - 1, -1, -1, dtype=jnp.int64)
+        median, _ = jax.lax.scan(bisect, jnp.int64(0), bits)
         level = jnp.where(matches == 0, EMPTY_TILE_LEVEL, median)
         counts = jax.lax.dynamic_update_slice(counts, new_window, (start,))
         return counts, level

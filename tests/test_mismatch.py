@@ -174,3 +174,18 @@ def test_missing_sequence_raises():
     t = parse_one("q\t5\t0\t5\t+\tmissing\t5\t0\t5\t5\t5\t60\tcg:Z:5M")
     with pytest.raises(KeyError):
         encode_mismatches(t, SequencePool({"q": "AAAAA"}))
+
+
+def test_compact_device_extraction_matches_full_path(monkeypatch):
+    from paffy_tpu.ops import mismatch as mm
+    seqs, lines = None, None
+    import synthdata
+    seqs, lines = synthdata.make_workload(seed=13, length=6000, n_windows=10,
+                                          window=900, step=550)
+    from paffy_tpu.core.pafio import parse_paf_text, serialize_paf
+    t = parse_paf_text("\n".join(lines) + "\n")
+    pool = mm.SequencePool(seqs)
+    full = mm.encode_mismatches(t.copy(), pool)
+    monkeypatch.setattr(mm, "COMPACT_THRESHOLD", 1)
+    compact = mm.encode_mismatches(t.copy(), pool)
+    assert serialize_paf(full) == serialize_paf(compact)
