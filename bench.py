@@ -67,12 +67,14 @@ def build_columns(t):
             if (nm, ln) not in keys:
                 keys[(nm, ln)] = len(sizes)
                 sizes.append(ln)
-    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    from paffy_tpu.ops.segments import POOL_GUARD, POOL_W
+    offsets = np.concatenate([[0], np.cumsum(sizes)]) + POOL_GUARD
     qoff = np.array([offsets[keys[(t.qname[i], int(t.qlen[i]))]]
                      for i in range(len(t))], dtype=np.int64)
     toff = np.array([offsets[keys[(t.tname[i], int(t.tlen[i]))]]
                      for i in range(len(t))], dtype=np.int64)
-    return build_m_column_batch(t, qoff, toff), int(offsets[-1])
+    pool_size = -(-(int(offsets[-1]) + 2 * POOL_W) // POOL_W) * POOL_W
+    return build_m_column_batch(t, qoff, toff), pool_size
 
 
 def _dev_args(b, pool_size):
@@ -139,49 +141,50 @@ def device_synth(b, pool_size, seed=0):
     return block, pool, a
 
 
-def bench_device(pool, a, b, iters=32):
-    """Time the kernel with ``iters`` executions inside ONE device dispatch
-    (lax.fori_loop with per-iteration input variation): single-dispatch
-    timings through the TPU tunnel are unreliable below ~0.1 ms."""
+def bench_device(pool, a, b, t, iters=20):
+    """Time the tiled column-compare kernel: ``iters`` executions inside one
+    device dispatch (fori_loop with per-iteration variation), wall-clocked by
+    fetching the result (single-dispatch timings through the TPU tunnel are
+    unreliable)."""
     import jax
     import jax.numpy as jnp
     from functools import partial
-    from paffy_tpu.ops.mismatch import _column_match_counts
+    from paffy_tpu.ops.tiled import (build_chunk_batch, build_pool_over,
+                                     _tiled_match_counts)
 
-    args = (pool, a["lens"], a["qpos0"], a["tpos0"], a["rev"], a["col_off"],
-            a["rec_col_off"], np.int32(b.n_cols))
-    kw = dict(c_pad=b.n_cols_pad)
+    cb = build_chunk_batch(b, len(t))
+    log(f"tiled: {cb.n_chunks} chunks of {128} columns (pad {cb.u_pad})")
+    pool_over = build_pool_over(pool)
+    pool_over.block_until_ready()
+    cargs = (jnp.asarray(cb.tbase), jnp.asarray(cb.q0), jnp.asarray(cb.rev),
+             jnp.asarray(cb.valid), jnp.asarray(cb.rec_chunk_off))
+
     t0 = time.time()
-    m, x = _column_match_counts(*args, **kw)
-    m.block_until_ready()
-    log(f"device: compile+first call {time.time()-t0:.1f}s")
+    m, x = _tiled_match_counts(pool_over, *cargs)
+    mv = np.asarray(m)
+    log(f"device: compile+first call+fetch {time.time()-t0:.1f}s")
 
-    @partial(jax.jit, static_argnames=("c_pad",))
-    def looped(pool, lens, qpos0, tpos0, rev, col_off, rec_col_off, n_cols,
-               k, c_pad):
+    @jax.jit
+    def looped(pool_over, tbase, q0, rev, valid, rec_chunk_off, k):
         def body(i, acc):
-            # flip strands on odd iterations so the body is not loop-invariant
             rev_i = jnp.logical_xor(rev, (i % 2) == 1)
-            mm, xx = _column_match_counts.__wrapped__(
-                pool, lens, qpos0, tpos0, rev_i, col_off, rec_col_off,
-                n_cols, c_pad)
+            mm, xx = _tiled_match_counts.__wrapped__(
+                pool_over, tbase, q0, rev_i, valid, rec_chunk_off)
             return acc + jnp.sum(mm) + jnp.sum(xx)
         return jax.lax.fori_loop(0, k, body, jnp.int64(0))
 
     def run_k(k):
-        # force a host readback: only a fetched value proves execution
-        # finished (the tunnel's block_until_ready is unreliable)
         t0 = time.time()
-        val = int(np.asarray(looped(*args, np.int32(k), c_pad=b.n_cols_pad)))
+        val = int(np.asarray(looped(pool_over, *cargs, np.int32(k))))
         return time.time() - t0, val
 
-    run_k(2)  # compile
-    t_small, _ = run_k(2)
-    t_big, val = run_k(2 + iters)
+    run_k(1)  # compile
+    t_small, _ = run_k(1)
+    t_big, val = run_k(1 + iters)
     dt = (t_big - t_small) / iters
     log(f"device: {dt*1e3:.2f} ms/iter ({iters} iters in one dispatch, "
         f"checksum {val}) -> {b.n_cols/dt/1e9:.3f} Gcol/s")
-    return b.n_cols / dt, np.asarray(m), np.asarray(x)
+    return b.n_cols / dt, mv, np.asarray(x)
 
 
 def bench_baseline(block, b, pool_size, iters=3):
@@ -217,7 +220,7 @@ def main():
     log(f"workload: {b.n_cols} alignment columns over {b.n_mops} M runs; "
         f"pool {pool_size/1e6:.0f} MB")
     block, pool, a = device_synth(b, pool_size)
-    dev_cols_s, m, x = bench_device(pool, a, b)
+    dev_cols_s, m, x = bench_device(pool, a, b, t)
 
     # structural invariant: per-record matches+mismatches == M-column count
     from paffy_tpu.core.segsum import segment_sums_by_offsets

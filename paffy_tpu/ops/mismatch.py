@@ -115,39 +115,24 @@ def _column_runs(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad):
     return boundary, is_match, valid
 
 
-@partial(jax.jit, static_argnames=("c_pad",))
-def _count_runs(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad):
-    boundary, _, _ = _column_runs.__wrapped__(
-        pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad)
-    return jnp.sum(boundary.astype(jnp.int32))
-
-
-@partial(jax.jit, static_argnames=("c_pad", "r_pad"))
-def _extract_runs(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad, r_pad):
-    """Compact the =/X run decomposition on device.
-
-    Returns (starts[r_pad], vals[r_pad]): the column index of each run start
-    and its match state.  Compaction is gather-side (binary search into the
-    boundary prefix sum) — scatter-side compaction of 1e8 columns would
-    serialize on TPU, and this keeps the host transfer at O(runs) instead of
-    O(columns).
-    """
-    boundary, is_match, _ = _column_runs.__wrapped__(
-        pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad)
-    cs = jnp.cumsum(boundary.astype(jnp.int32))
-    ranks = jnp.arange(1, r_pad + 1, dtype=jnp.int32)
-    starts = jnp.searchsorted(cs, ranks, side="left")
-    starts_c = jnp.clip(starts, 0, c_pad - 1)
-    return starts, is_match[starts_c]
-
-
 class SequencePool:
-    """Device-resident packed FASTA: one uint8 HBM array + name index."""
+    """Device-resident packed FASTA: one guarded uint8 HBM array + name index.
+
+    The pool carries POOL_GUARD zero bytes at the front and padding to a
+    POOL_W multiple (plus 2*POOL_W) at the back so the tiled kernel's chunk
+    windows can never index out of bounds; all offsets include the guard.
+    """
 
     def __init__(self, seqs: dict[str, str]):
+        from paffy_tpu.ops.segments import POOL_W, POOL_GUARD
         pool_np, self.index = pack_sequences(seqs)
-        self._pool_np = pool_np
-        self.pool = jnp.asarray(pool_np)
+        n = POOL_GUARD + len(pool_np)
+        padded = -(-(n + 2 * POOL_W) // POOL_W) * POOL_W
+        buf = np.zeros(padded, dtype=np.uint8)
+        buf[POOL_GUARD: POOL_GUARD + len(pool_np)] = pool_np
+        self._guard = POOL_GUARD
+        self._pool_np = buf
+        self.pool = jnp.asarray(buf)
 
     def offsets_for(self, names: np.ndarray, role: str) -> np.ndarray:
         out = np.empty(len(names), dtype=np.int64)
@@ -155,7 +140,7 @@ class SequencePool:
             entry = self.index.get(n)
             if entry is None:
                 raise KeyError(f"No {role} sequence named: {n} found")
-            out[i] = entry[0]
+            out[i] = entry[0] + self._guard
         return out
 
 
@@ -171,6 +156,10 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
     if b.n_cols == 0:
         z = np.zeros(len(t), dtype=np.int64)
         return z, z.copy()
+    if b.n_cols >= TILED_THRESHOLD:
+        from paffy_tpu.ops.tiled import tiled_match_counts
+        m, x = tiled_match_counts(pool.pool, b, len(t))
+        return m.astype(np.int64), x.astype(np.int64)
     m, x = _column_match_counts(
         pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0), jnp.asarray(b.tpos0),
         jnp.asarray(b.rev), jnp.asarray(b.col_off), jnp.asarray(b.rec_col_off),
@@ -178,7 +167,7 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
     return np.asarray(m), np.asarray(x)
 
 
-COMPACT_THRESHOLD = 1 << 22  # above this many columns, extract runs on device
+TILED_THRESHOLD = 1 << 20  # columns; above this, use the tiled kernel
 
 
 def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
@@ -187,19 +176,16 @@ def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
     b = _prepare(t, pool)
     if b.n_cols == 0:
         return t
-    args = (pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0),
-            jnp.asarray(b.tpos0), jnp.asarray(b.rev), jnp.asarray(b.col_off),
-            b.n_cols)
-    if b.n_cols >= COMPACT_THRESHOLD:
-        # two-phase compact extraction: count runs, then gather run starts —
-        # the host transfer stays O(runs), not O(columns)
-        n_runs = int(_count_runs(*args, c_pad=b.n_cols_pad))
-        r_pad = bucket_size(max(n_runs, 1))
-        starts_d, vals_d = _extract_runs(*args, c_pad=b.n_cols_pad, r_pad=r_pad)
-        starts = np.asarray(starts_d[:n_runs])
-        match_at_start = np.asarray(vals_d[:n_runs])
+    if b.n_cols >= TILED_THRESHOLD:
+        # tiled kernel + on-device run compaction: host transfer stays
+        # O(runs), not O(columns)
+        from paffy_tpu.ops.tiled import tiled_runs
+        starts, match_at_start = tiled_runs(pool.pool, b, len(t))
     else:
-        boundary, is_match, valid = _column_runs(*args, c_pad=b.n_cols_pad)
+        boundary, is_match, valid = _column_runs(
+            pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0),
+            jnp.asarray(b.tpos0), jnp.asarray(b.rev), jnp.asarray(b.col_off),
+            b.n_cols, c_pad=b.n_cols_pad)
         boundary = np.asarray(boundary[: b.n_cols])
         starts = np.nonzero(boundary)[0]
         match_at_start = np.asarray(is_match[: b.n_cols])[starts]

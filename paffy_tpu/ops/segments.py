@@ -23,6 +23,13 @@ from paffy_tpu.core.model import (PafTable, MATCH, QUERY_INSERT, QUERY_DELETE,
 from paffy_tpu.core.segsum import segment_ids_from_offsets
 
 
+# Sequence-pool layout constants shared by the compare kernels: W-column
+# chunking (tiled kernel lanes) and guard bytes so chunk windows never index
+# outside the pool.
+POOL_W = 128
+POOL_GUARD = 128
+
+
 def bucket_size(n: int, minimum: int = 256) -> int:
     """Next power-of-two >= n (>= minimum) — bounds recompilation count."""
     b = minimum

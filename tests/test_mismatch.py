@@ -186,6 +186,46 @@ def test_compact_device_extraction_matches_full_path(monkeypatch):
     t = parse_paf_text("\n".join(lines) + "\n")
     pool = mm.SequencePool(seqs)
     full = mm.encode_mismatches(t.copy(), pool)
-    monkeypatch.setattr(mm, "COMPACT_THRESHOLD", 1)
-    compact = mm.encode_mismatches(t.copy(), pool)
-    assert serialize_paf(full) == serialize_paf(compact)
+    monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
+    tiled = mm.encode_mismatches(t.copy(), pool)
+    assert serialize_paf(full) == serialize_paf(tiled)
+
+
+def test_tiled_counts_match_naive(monkeypatch):
+    from paffy_tpu.ops import mismatch as mm
+    import synthdata
+    seqs, lines = synthdata.make_workload(seed=21, length=9000, n_windows=14,
+                                          window=1100, step=640)
+    from paffy_tpu.core.pafio import parse_paf_text
+    t = parse_paf_text("\n".join(lines) + "\n")
+    pool = mm.SequencePool(seqs)
+    m0, x0 = mm.column_match_counts(t, pool)
+    monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
+    m1, x1 = mm.column_match_counts(t, pool)
+    assert np.array_equal(m0, m1) and np.array_equal(x0, x1)
+
+
+def test_tiled_random_against_oracle(monkeypatch):
+    from paffy_tpu.ops import mismatch as mm
+    monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
+    test_random_against_oracle()
+
+
+def test_tiled_exact_chunk_boundaries(monkeypatch):
+    # runs of exactly W and W+1 columns; both strands
+    from paffy_tpu.ops import mismatch as mm
+    monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
+    rng = np.random.default_rng(5)
+    for ln in (127, 128, 129, 256, 257):
+        for strand in "+-":
+            q = "".join(rng.choice(list("ACGT"), ln + 10))
+            t_ = "".join(rng.choice(list("ACGT"), ln + 10))
+            line = (f"q\t{ln+10}\t3\t{3+ln}\t{strand}\tt\t{ln+10}\t5\t{5+ln}"
+                    f"\t{ln}\t{ln}\t60\tcg:Z:{ln}M")
+            t = parse_one(line)
+            pool = mm.SequencePool({"q": q, "t": t_})
+            t2 = mm.encode_mismatches(t, pool)
+            expect = oracle_encode(t, 0, {"q": q, "t": t_})
+            ops, lens = t2.record_ops(0)
+            got = list(zip([int(o) for o in ops], [int(l) for l in lens]))
+            assert got == expect, f"len {ln} strand {strand}"
