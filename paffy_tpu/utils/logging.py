@@ -57,12 +57,25 @@ def debug_enabled() -> bool:
 
 class CommandTimer:
     """Wall-clock elapsed reporting per command, mirroring the reference's
-    '<tool> is done!, N seconds have elapsed' info lines."""
+    '<tool> is done!, N seconds have elapsed' info lines.
+
+    Setting PAFFY_TPU_PROFILE=<dir> additionally captures a jax profiler
+    trace for the command (the tracing hook promised in SURVEY.md section 5;
+    view with tensorboard or xprof)."""
 
     def __init__(self, name: str):
+        import os
         self.name = name
         self.start = time.time()
+        self._trace_dir = os.environ.get("PAFFY_TPU_PROFILE")
+        if self._trace_dir:
+            import jax
+            jax.profiler.start_trace(self._trace_dir)
 
     def done(self) -> None:
+        if self._trace_dir:
+            import jax
+            jax.profiler.stop_trace()
+            log_info("profiler trace written to %s", self._trace_dir)
         log_info("%s is done!, %d seconds have elapsed",
                  self.name, int(time.time() - self.start))
