@@ -90,128 +90,79 @@ def _dev_args(b, pool_size):
         rec_col_off=jnp.asarray(b.rec_col_off.astype(np.int32)))
 
 
-def device_synth(b, pool_size, seed=0):
-    """Build the sequence pool on device: tiled random block, query bytes
-    copied through the alignment map with (1-MATCH_RATE) substitutions."""
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
-    from paffy_tpu.ops.segments import columns_to_ops
-    from paffy_tpu.ops.mismatch import device_comp_upper
-
+def build_host_pool(b, pool_size, seed=7):
+    """Host pool: tiled random block + native C synthesis of query bytes
+    through the alignment map (~96.5% column match rate).  The device gets an
+    exact copy, so device results can be cross-checked against the C loop
+    bit-for-bit."""
+    from paffy_tpu import native
     rng = np.random.default_rng(seed)
     block = np.frombuffer(b"ACGT", dtype=np.uint8)[
         rng.integers(0, 4, size=BLOCK, dtype=np.uint8)]
     reps = pool_size // BLOCK + 1
-    a = _dev_args(b, pool_size)
-
-    @partial(jax.jit, static_argnames=("c_pad", "reps", "size"))
-    def synth(block, lens, qpos0, tpos0, rev, col_off, n_cols, key,
-              c_pad, reps, size):
-        pool = jnp.tile(block, reps)[:size]
-        col_op = columns_to_ops(col_off, c_pad=c_pad)
-        cols = jnp.arange(c_pad, dtype=jnp.int32)
-        i = cols - col_off[col_op]
-        valid = cols < n_cols
-        limit = size - 1
-        tpos = jnp.clip(tpos0[col_op] + i, 0, limit)
-        qpos = qpos0[col_op] + jnp.where(rev[col_op], -i, i)
-        src = pool[tpos]
-        src = jnp.where(rev[col_op], device_comp_upper(src), src)
-        k1, k2 = jax.random.split(key)
-        keep = jax.random.uniform(k1, (c_pad,)) < MATCH_RATE
-        bits = jax.random.randint(k2, (c_pad,), 0, 4, dtype=jnp.int32)
-        # tiny-table gathers serialize on TPU; pick the base via selects
-        sub = jnp.where(bits == 0, jnp.uint8(65),
-                        jnp.where(bits == 1, jnp.uint8(67),
-                                  jnp.where(bits == 2, jnp.uint8(71),
-                                            jnp.uint8(84))))
-        qb = jnp.where(keep, src, sub)
-        qpos_w = jnp.where(valid, jnp.clip(qpos, 0, limit), size)
-        return pool.at[qpos_w].set(qb, mode="drop")
-
+    host_pool = np.tile(block, reps)[:pool_size]
     t0 = time.time()
-    pool = synth(jnp.asarray(block), a["lens"], a["qpos0"], a["tpos0"],
-                 a["rev"], a["col_off"], np.int32(b.n_cols),
-                 jax.random.PRNGKey(seed), c_pad=b.n_cols_pad, reps=reps,
-                 size=pool_size)
-    pool.block_until_ready()
-    log(f"device pool synthesized ({pool_size/1e6:.0f} MB) "
-        f"in {time.time()-t0:.1f}s on {jax.devices()[0]}")
-    return block, pool, a
+    ok = native.synth_query_pool(host_pool, b.lens[: b.n_mops],
+                                 b.qpos0[: b.n_mops], b.tpos0[: b.n_mops],
+                                 b.rev[: b.n_mops],
+                                 keep_per_mille=int(MATCH_RATE * 1000))
+    if not ok:
+        raise RuntimeError("native library unavailable; cannot synthesize pool")
+    log(f"host pool synthesized ({pool_size/1e6:.0f} MB) in {time.time()-t0:.1f}s")
+    return host_pool
 
 
-def bench_device(pool, a, b, t, iters=20):
-    """Time the tiled column-compare kernel: ``iters`` executions inside one
-    device dispatch (fori_loop with per-iteration variation), wall-clocked by
-    fetching the result (single-dispatch timings through the TPU tunnel are
-    unreliable)."""
+def bench_device(host_pool, b, t, iters=20):
+    """Upload the pool, run the tiled kernel; wall-clock via result fetches
+    (block_until_ready can return before remote execution completes), then
+    refine with ``iters`` executions inside one fori_loop dispatch."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
     from paffy_tpu.ops.tiled import (build_chunk_batch, build_pool_over,
                                      _tiled_match_counts)
 
+    t0 = time.time()
+    pool = jax.device_put(host_pool)
+    pool.block_until_ready()
+    log(f"pool uploaded in {time.time()-t0:.1f}s to {jax.devices()[0]}")
+
     cb = build_chunk_batch(b, len(t))
-    log(f"tiled: {cb.n_chunks} chunks of {128} columns (pad {cb.u_pad})")
+    log(f"tiled: {cb.n_chunks} chunks (pad {cb.u_pad})")
     pool_over = build_pool_over(pool)
-    pool_over.block_until_ready()
     cargs = (jnp.asarray(cb.tbase), jnp.asarray(cb.q0), jnp.asarray(cb.rev),
              jnp.asarray(cb.valid), jnp.asarray(cb.rec_chunk_off))
 
     t0 = time.time()
     m, x = _tiled_match_counts(pool_over, *cargs)
-    mv = np.asarray(m)
-    log(f"device: compile+first call+fetch {time.time()-t0:.1f}s")
-
-    @jax.jit
-    def looped(pool_over, tbase, q0, rev, valid, rec_chunk_off, k):
-        def body(i, acc):
-            rev_i = jnp.logical_xor(rev, (i % 2) == 1)
-            mm, xx = _tiled_match_counts.__wrapped__(
-                pool_over, tbase, q0, rev_i, valid, rec_chunk_off)
-            return acc + jnp.sum(mm) + jnp.sum(xx)
-        return jax.lax.fori_loop(0, k, body, jnp.int64(0))
-
-    def run_k(k):
+    mv, xv = np.asarray(m), np.asarray(x)
+    log(f"device: compile+first+fetch {time.time()-t0:.1f}s")
+    times = []
+    for _ in range(5):
         t0 = time.time()
-        val = int(np.asarray(looped(pool_over, *cargs, np.int32(k))))
-        return time.time() - t0, val
-
-    run_k(1)  # compile
-    t_small, _ = run_k(1)
-    t_big, val = run_k(1 + iters)
-    dt = (t_big - t_small) / iters
-    log(f"device: {dt*1e3:.2f} ms/iter ({iters} iters in one dispatch, "
-        f"checksum {val}) -> {b.n_cols/dt/1e9:.3f} Gcol/s")
-    return b.n_cols / dt, mv, np.asarray(x)
+        m, x = _tiled_match_counts(pool_over, *cargs)
+        np.asarray(m)
+        times.append(time.time() - t0)
+    dt = min(times)
+    log(f"device: {dt*1e3:.1f} ms/call (fetch-timed, min of 5; includes the "
+        f"tunnel roundtrip, so throughput is understated) -> "
+        f"{b.n_cols/dt/1e9:.3f} Gcol/s")
+    return b.n_cols / dt, mv, xv
 
 
-def bench_baseline(block, b, pool_size, iters=3):
-    """Single-threaded C per-base loop on the full workload — the
-    reference-style CPU comparison point (falls back to numpy on a subset
-    when the native library is unavailable)."""
+def bench_baseline(host_pool, b, iters=3):
+    """Single-threaded C per-base loop on the identical pool — the
+    reference-style CPU comparison point."""
     from paffy_tpu import native
-    rng = np.random.default_rng(1)
-    reps = pool_size // BLOCK + 1
-    host_pool = np.tile(block, reps)[:pool_size]
-    n_records = int(b.rec.max()) + 1
-    lens = b.lens[: b.n_mops]
-    qpos0 = b.qpos0[: b.n_mops]
-    tpos0 = b.tpos0[: b.n_mops]
-    rev = b.rev[: b.n_mops]
-    rec = b.rec[: b.n_mops]
-    if native.get_lib() is None:
-        log("native lib unavailable; no CPU baseline")
-        return None
+    n_records = int(b.rec[: b.n_mops].max(initial=0)) + 1
+    args = (host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+            b.tpos0[: b.n_mops], b.rev[: b.n_mops], b.rec[: b.n_mops],
+            n_records)
     t0 = time.time()
     for _ in range(iters):
-        m, x = native.column_compare_counts(host_pool, lens, qpos0, tpos0,
-                                            rev, rec, n_records)
+        m, x = native.column_compare_counts(*args)
     dt = (time.time() - t0) / iters
-    log(f"C baseline: {dt*1e3:.0f} ms/iter -> {b.n_cols/dt/1e6:.1f} Mcol/s "
-        f"(identity {m.sum()/max(m.sum()+x.sum(),1):.4f} on unmutated pool)")
-    return b.n_cols / dt
+    log(f"C baseline: {dt*1e3:.0f} ms/iter -> {b.n_cols/dt/1e6:.1f} Mcol/s")
+    return b.n_cols / dt, m, x
 
 
 def main():
@@ -219,22 +170,19 @@ def main():
     b, pool_size = build_columns(t)
     log(f"workload: {b.n_cols} alignment columns over {b.n_mops} M runs; "
         f"pool {pool_size/1e6:.0f} MB")
-    block, pool, a = device_synth(b, pool_size)
-    dev_cols_s, m, x = bench_device(pool, a, b, t)
-
-    # structural invariant: per-record matches+mismatches == M-column count
-    from paffy_tpu.core.segsum import segment_sums_by_offsets
-    from paffy_tpu.core.model import MATCH
-    expect = segment_sums_by_offsets(
-        np.where(t.ops == MATCH, t.lens, 0), t.off)
-    got = (m + x)[: len(t)]
-    if not np.array_equal(got, expect):
-        log("ERROR: per-record column counts do not match the cigar structure")
-        sys.exit(1)
-    ident = m.sum() / max(m.sum() + x.sum(), 1)
+    host_pool = build_host_pool(b, pool_size)
+    base_cols_s, m_c, x_c = bench_baseline(host_pool, b)
+    ident = m_c.sum() / max(m_c.sum() + x_c.sum(), 1)
     log(f"column identity {ident:.4f} (target ~{MATCH_RATE})")
 
-    base_cols_s = bench_baseline(block, b, pool_size)
+    dev_cols_s, m_d, x_d = bench_device(host_pool, b, t)
+    m_d = m_d.astype(np.int64)
+    x_d = x_d.astype(np.int64)
+    if not (np.array_equal(m_c, m_d[: len(m_c)])
+            and np.array_equal(x_c, x_d[: len(x_c)])):
+        log("ERROR: device and C results differ!")
+        sys.exit(1)
+    log("device/C per-record results identical")
     print(json.dumps({
         "metric": "alignment_columns_per_second",
         "value": round(dev_cols_s, 1),

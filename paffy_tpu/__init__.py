@@ -26,5 +26,16 @@ if _plat:
     except RuntimeError:
         pass
 
+# Persistent compilation cache: TPU compiles of the big kernels take minutes
+# through the remote tunnel; cache them across processes.
+_cache_dir = _os.environ.get("PAFFY_TPU_COMPILE_CACHE",
+                             _os.path.expanduser("~/.cache/paffy_tpu_xla"))
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these options
+        pass
+
 from paffy_tpu.core.model import PafTable  # noqa: E402,F401
 from paffy_tpu.core import pafio, fasta    # noqa: E402,F401

@@ -7,7 +7,8 @@ import sys
 from dataclasses import replace
 import numpy as np
 
-from paffy_tpu.commands.common import base_parser, start, read_table, write_table, open_output
+from paffy_tpu.commands.common import (base_parser, start, read_table,
+                                        write_table, open_output, stream_tables)
 from paffy_tpu.core import pafio
 from paffy_tpu.core.fasta import read_fasta
 from paffy_tpu.ops.chain import paf_chain
@@ -65,11 +66,11 @@ def to_bed_main(argv) -> int:
     p.add_argument("-q", "--queryFastaFile", default=None)
     args = p.parse_args(argv)
     timer = start(args, "Paffy to_bed")
-    t = read_table(args)
     cm = CoverageMap()
-    cm.add(t)
-    if args.includeInverted:
-        cm.add(tr.invert(t))
+    for t in stream_tables(args):
+        cm.add(t)
+        if args.includeInverted:
+            cm.add(tr.invert(t))
     out = open_output(args)
     try:
         # rows per sequence in first-seen order (the reference iterates its

@@ -60,3 +60,49 @@ def write_table(t, args):
     finally:
         if fh is not sys.stdout:
             fh.close()
+
+
+# Streaming batch size: the reference streams record-at-a-time; we stream
+# batch-at-a-time (device work wants batches).  Memory stays bounded by the
+# batch byte budget regardless of input size.
+import os
+
+BATCH_BYTES = int(os.environ.get("PAFFY_TPU_BATCH_BYTES", 256 * 1024 * 1024))
+
+
+def stream_tables(args, batch_bytes: int | None = None):
+    """Yield PafTable batches from the input, splitting at line boundaries."""
+    bb = batch_bytes or BATCH_BYTES
+    fh = open_input(args)
+    try:
+        leftover = ""
+        while True:
+            chunk = fh.read(bb)
+            if not chunk:
+                if leftover:
+                    yield pafio.parse_paf_text(leftover)
+                return
+            chunk = leftover + chunk
+            cut = chunk.rfind("\n")
+            if cut < 0:
+                leftover = chunk
+                continue
+            leftover = chunk[cut + 1:]
+            yield pafio.parse_paf_text(chunk[: cut + 1])
+    finally:
+        if fh is not sys.stdin:
+            fh.close()
+
+
+def stream_transform(args, fn):
+    """read -> fn(batch) -> write, batch by batch (the reference's streaming
+    loop shape, e.g. impl/paf_invert.c:84-89, at batch granularity)."""
+    out = open_output(args)
+    try:
+        for t in stream_tables(args):
+            res = fn(t)
+            if res is not None and len(res):
+                out.write(pafio.serialize_paf(res))
+    finally:
+        if out is not sys.stdout:
+            out.close()

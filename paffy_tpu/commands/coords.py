@@ -8,7 +8,9 @@ import sys
 from dataclasses import replace
 import numpy as np
 
-from paffy_tpu.commands.common import base_parser, start, read_table, write_table, open_input
+from paffy_tpu.commands.common import (base_parser, start, read_table,
+                                        write_table, open_input, open_output,
+                                        stream_tables)
 from paffy_tpu.core import pafio
 from paffy_tpu.core.fasta import decode_header, read_fasta_list
 from paffy_tpu.core.model import _as_obj_array
@@ -46,15 +48,21 @@ def dechunk_main(argv) -> int:
     timer = start(args, "Paffy dechunk")
     fix_query = not args.target   # -t restricts to target only (impl/paf_dechunk.c:81-86)
     fix_target = not args.query
-    t = read_table(args)
-    if fix_query:
-        qn, qs, qe, ql = _dechunk_side(t.qname, t.qstart, t.qend, t.qlen)
-        t = replace(t, qname=qn, qstart=qs, qend=qe, qlen=ql)
-    if fix_target:
-        tn, ts, te, tl = _dechunk_side(t.tname, t.tstart, t.tend, t.tlen)
-        t = replace(t, tname=tn, tstart=ts, tend=te, tlen=tl)
-    pafio.paf_check(t)
-    write_table(t, args)
+    import sys as _sys
+    out = open_output(args)
+    try:
+        for t in stream_tables(args):
+            if fix_query:
+                qn, qs, qe, ql = _dechunk_side(t.qname, t.qstart, t.qend, t.qlen)
+                t = replace(t, qname=qn, qstart=qs, qend=qe, qlen=ql)
+            if fix_target:
+                tn, ts, te, tl = _dechunk_side(t.tname, t.tstart, t.tend, t.tlen)
+                t = replace(t, tname=tn, tstart=ts, tend=te, tlen=tl)
+            pafio.paf_check(t)
+            out.write(pafio.serialize_paf(t))
+    finally:
+        if out is not _sys.stdout:
+            out.close()
     timer.done()
     return 0
 
@@ -130,43 +138,61 @@ def split_file_main(argv) -> int:
                    help="Small contigs are bin-packed into combined files")
     args = p.parse_args(argv)
     timer = start(args, "Paffy split_file")
-    t = read_table(args)
-    names = t.qname if args.query else t.tname
-    lengths = t.qlen if args.query else t.tlen
 
     # first-fit-sequential bin packing of small contigs
     # (impl/paf_split_file.c:142-169): a new small file opens when the current
     # one's total assigned contig length would exceed minLength; all records
-    # of one contig stay together.
-    files: dict[str, list[int]] = {}     # path -> record indices
-    order: list[str] = []
+    # of one contig stay together.  Streaming: file handles persist across
+    # batches, appends preserve record order.
+    handles: dict[str, object] = {}
     contig_file: dict[str, str] = {}
-    small_idx = 0
-    small_total = 0
-    small_path = None
-    for i in range(len(t)):
-        nm = names[i]
-        path = contig_file.get(nm)
-        if path is None:
-            if args.minLength > 0 and int(lengths[i]) < args.minLength:
-                if small_path is None or small_total + int(lengths[i]) > args.minLength:
-                    small_path = f"{args.prefix}small_{small_idx}.paf"
-                    small_idx += 1
-                    small_total = 0
-                    log_info("Opened small contigs output file: %s", small_path)
-                small_total += int(lengths[i])
-                path = small_path
-            else:
-                path = f"{args.prefix}{nm.replace('/', '_')}.paf"
-                log_info("Opened output file: %s", path)
-            contig_file[nm] = path
-            if path not in files:
-                files[path] = []
-                order.append(path)
-        files[path].append(i)
-    for path in order:
-        with open(path, "w") as fh:
-            fh.write(pafio.serialize_paf(t.take(np.array(files[path], dtype=np.int64))))
-    log_info("Split %d records", len(t))
+    state = {"small_idx": 0, "small_total": 0, "small_path": None}
+    total = 0
+    try:
+        for t in stream_tables(args):
+            total += len(t)
+            names = t.qname if args.query else t.tname
+            lengths = t.qlen if args.query else t.tlen
+            assign: list[str] = []
+            for i in range(len(t)):
+                nm = names[i]
+                path = contig_file.get(nm)
+                if path is None:
+                    if args.minLength > 0 and int(lengths[i]) < args.minLength:
+                        if (state["small_path"] is None
+                                or state["small_total"] + int(lengths[i])
+                                > args.minLength):
+                            state["small_path"] = (
+                                f"{args.prefix}small_{state['small_idx']}.paf")
+                            state["small_idx"] += 1
+                            state["small_total"] = 0
+                            log_info("Opened small contigs output file: %s",
+                                     state["small_path"])
+                        state["small_total"] += int(lengths[i])
+                        path = state["small_path"]
+                    else:
+                        path = f"{args.prefix}{nm.replace('/', '_')}.paf"
+                        log_info("Opened output file: %s", path)
+                    contig_file[nm] = path
+                assign.append(path)
+            # group record indices per file, preserving order
+            by_file: dict[str, list[int]] = {}
+            forder: list[str] = []
+            for i, path in enumerate(assign):
+                if path not in by_file:
+                    by_file[path] = []
+                    forder.append(path)
+                by_file[path].append(i)
+            for path in forder:
+                fh = handles.get(path)
+                if fh is None:
+                    fh = open(path, "w")
+                    handles[path] = fh
+                fh.write(pafio.serialize_paf(
+                    t.take(np.array(by_file[path], dtype=np.int64))))
+    finally:
+        for fh in handles.values():
+            fh.close()
+    log_info("Split %d records", total)
     timer.done()
     return 0

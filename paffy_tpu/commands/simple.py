@@ -12,7 +12,8 @@ from __future__ import annotations
 import sys
 import numpy as np
 
-from paffy_tpu.commands.common import base_parser, start, read_table, write_table
+from paffy_tpu.commands.common import (base_parser, start, read_table,
+                                        write_table, stream_transform)
 from paffy_tpu.core import pafio
 from paffy_tpu.core.fasta import load_sequences
 from paffy_tpu.ops import transforms as tr
@@ -25,10 +26,12 @@ def invert_main(argv) -> int:
     p = base_parser("paffy invert", "Inverts the query and target in a PAF file")
     args = p.parse_args(argv)
     timer = start(args, "Paf invert")
-    t = read_table(args)
-    t = tr.invert(t)
-    pafio.paf_check(t)
-    write_table(t, args)
+
+    def step(t):
+        t = tr.invert(t)
+        pafio.paf_check(t)
+        return t
+    stream_transform(args, step)
     timer.done()
     return 0
 
@@ -37,8 +40,7 @@ def shatter_main(argv) -> int:
     p = base_parser("paffy shatter", "Break up paf alignments into individual matches")
     args = p.parse_args(argv)
     timer = start(args, "Paffy shatter")
-    t = read_table(args)
-    write_table(tr.shatter(t), args)
+    stream_transform(args, tr.shatter)
     timer.done()
     return 0
 
@@ -50,32 +52,74 @@ def dedupe_main(argv) -> int:
                         "with query and target reversed")
     args = p.parse_args(argv)
     timer = start(args, "Paffy dedupe")
-    t = read_table(args)
-    # first-occurrence-wins on the full coordinate key, order preserving
-    # (impl/paf_dedupe.c:27-46,117-143); with -a, a record whose direct key is
-    # unseen is also checked against the inverted key before being kept
-    seen: set = set()
-    keep = np.zeros(len(t), dtype=bool)
-    dupes = 0
-    for i in range(len(t)):
-        key = (t.qname[i], t.tname[i], bool(t.strand[i]),
-               int(t.qstart[i]), int(t.qend[i]), int(t.tstart[i]), int(t.tend[i]))
-        hit = key in seen
-        if not hit and args.checkInverse:
-            ikey = (t.tname[i], t.qname[i], bool(t.strand[i]),
-                    int(t.tstart[i]), int(t.tend[i]), int(t.qstart[i]), int(t.qend[i]))
-            hit = ikey in seen
-        if hit:
-            dupes += 1
-            if debug_enabled():
+    state = DedupeState(args.checkInverse)
+
+    def step(t):
+        keep = state.process(t)
+        if debug_enabled():
+            for i in np.nonzero(~keep)[0]:
                 log_debug("Got duplicate pafs:")
                 log_debug("\t\tdupe (1) - : %s", pafio.format_record(t, i))
-        else:
-            seen.add(key)
-            keep[i] = True
-    write_table(t.take(keep), args)
+        return t.take(keep)
+    stream_transform(args, step)
     timer.done()
     return 0
+
+
+class DedupeState:
+    """Vectorized first-occurrence-wins dedupe on the full coordinate key
+    (impl/paf_dedupe.c:27-46,117-143), streaming across batches.
+
+    With check_inverse, a record also counts as a duplicate when its
+    query/target-swapped key was seen earlier.  (The reference probes its
+    hash of KEPT records, but kept-set membership and seen-set membership
+    are provably equivalent: a record dropped by a direct hit duplicates a
+    kept key, and one dropped by an inverse hit shares its inverse with a
+    kept key — so testing against all earlier keys yields identical
+    decisions.)
+    """
+
+    def __init__(self, check_inverse: bool):
+        self.check_inverse = check_inverse
+        self.name_id: dict[str, int] = {}
+        self.seen: set = set()
+
+    def process(self, t) -> np.ndarray:
+        n = len(t)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        qid = np.empty(n, dtype=np.int64)
+        tid = np.empty(n, dtype=np.int64)
+        name_id = self.name_id
+        for i in range(n):
+            qid[i] = name_id.setdefault(t.qname[i], len(name_id))
+            tid[i] = name_id.setdefault(t.tname[i], len(name_id))
+
+        def as_void(cols):
+            keys = np.ascontiguousarray(np.stack(cols, axis=1))
+            return keys.view([("", keys.dtype)] * keys.shape[1]).reshape(-1)
+
+        strand = t.strand.astype(np.int64)
+        void = as_void([qid, tid, strand, t.qstart, t.qend, t.tstart, t.tend])
+        uniq, inv = np.unique(void, return_inverse=True)
+        first = np.full(len(uniq), n, dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(n))
+        dup = first[inv] < np.arange(n)
+        if self.check_inverse:
+            ivoid = as_void([tid, qid, strand, t.tstart, t.tend,
+                             t.qstart, t.qend])
+            pos = np.searchsorted(uniq, ivoid)
+            pos_c = np.clip(pos, 0, len(uniq) - 1)
+            hit = uniq[pos_c] == ivoid
+            dup |= hit & (first[pos_c] < np.arange(n))
+            if self.seen:
+                dup |= np.array([v.tobytes() in self.seen for v in ivoid],
+                                dtype=bool)
+        if self.seen:
+            dup |= np.array([v.tobytes() in self.seen for v in void],
+                            dtype=bool)
+        self.seen.update(v.tobytes() for v in void[~dup])
+        return ~dup
 
 
 def trim_main(argv) -> int:
@@ -85,13 +129,15 @@ def trim_main(argv) -> int:
     p.add_argument("-f", "--fixedTrim", action="store_true")
     args = p.parse_args(argv)
     timer = start(args, "Paffy trim")
-    t = read_table(args)
-    if not args.fixedTrim:
-        t = trim_unreliable_tails(t, args.trimIdentity, args.trimFraction)
-    else:
-        t = tr.trim_end_fraction(t, args.trimFraction)
-    pafio.paf_check(t)
-    write_table(t, args)
+
+    def step(t):
+        if not args.fixedTrim:
+            t = trim_unreliable_tails(t, args.trimIdentity, args.trimFraction)
+        else:
+            t = tr.trim_end_fraction(t, args.trimFraction)
+        pafio.paf_check(t)
+        return t
+    stream_transform(args, step)
     timer.done()
     return 0
 
@@ -107,30 +153,33 @@ def filter_main(argv) -> int:
                    help="Only output alignments that don't pass filters")
     args = p.parse_args(argv)
     timer = start(args, "Paffy filter")
-    t = read_table(args)
-    s = tr.stats_calc(t)
-    m, x = s["matches"], s["mismatches"]
-    with np.errstate(invalid="ignore", divide="ignore"):
-        ident = (m.astype(np.float32) / (m + x).astype(np.float32))
-        identg = (m.astype(np.float32) /
-                  (m + x + s["query_insert_bases"] + s["query_delete_bases"])
-                  .astype(np.float32))
-    # keep-condition (impl/paf_filter.c:131-133); NaN identities fail the >=
-    # exactly as in C float compares
-    passes = ((t.score >= args.minAlignmentScore)
-              & (t.chain_score >= args.minChainScore)
-              & ((args.maxTileLevel == -1) | (t.tile_level <= args.maxTileLevel))
-              & (ident >= np.float32(args.minIdentity))
-              & (identg >= np.float32(args.minIdentityWithGaps)))
-    keep = ~passes if args.invert else passes
-    if debug_enabled():
-        for i in np.nonzero(~keep)[0]:
-            log_debug("Filtering alignment with matches:%d, identity: %f (%f "
-                      "with gaps), score: %d, chain-score:%d", int(m[i]),
-                      float(ident[i]), float(identg[i]), int(t.score[i]),
-                      int(t.chain_score[i]))
-            sys.stderr.write(pafio.format_record(t, i) + "\n")
-    write_table(t.take(keep), args)
+
+    def step(t):
+        s = tr.stats_calc(t)
+        m, x = s["matches"], s["mismatches"]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ident = (m.astype(np.float32) / (m + x).astype(np.float32))
+            identg = (m.astype(np.float32) /
+                      (m + x + s["query_insert_bases"] + s["query_delete_bases"])
+                      .astype(np.float32))
+        # keep-condition (impl/paf_filter.c:131-133); NaN identities fail the
+        # >= exactly as in C float compares
+        passes = ((t.score >= args.minAlignmentScore)
+                  & (t.chain_score >= args.minChainScore)
+                  & ((args.maxTileLevel == -1)
+                     | (t.tile_level <= args.maxTileLevel))
+                  & (ident >= np.float32(args.minIdentity))
+                  & (identg >= np.float32(args.minIdentityWithGaps)))
+        keep = ~passes if args.invert else passes
+        if debug_enabled():
+            for i in np.nonzero(~keep)[0]:
+                log_debug("Filtering alignment with matches:%d, identity: %f "
+                          "(%f with gaps), score: %d, chain-score:%d",
+                          int(m[i]), float(ident[i]), float(identg[i]),
+                          int(t.score[i]), int(t.chain_score[i]))
+                sys.stderr.write(pafio.format_record(t, i) + "\n")
+        return t.take(keep)
+    stream_transform(args, step)
     timer.done()
     return 0
 
@@ -145,18 +194,23 @@ def add_mismatches_main(argv) -> int:
                         "replacing with M")
     args = p.parse_args(argv)
     timer = start(args, "Paffy add_mismatches")
-    t = read_table(args)
-    if args.removeMismatches:
-        t = tr.remove_mismatches(t)
-    else:
+    pool = None
+    if not args.removeMismatches:
         seqs = load_sequences(args.fasta_files)
         log_info("Read %d sequences from sequence files", len(seqs))
-        try:
-            t = encode_mismatches(t, SequencePool(seqs))
-        except KeyError as e:
-            print(str(e.args[0]), file=sys.stderr)
-            return 1
-    pafio.paf_check(t)
-    write_table(t, args)
+        pool = SequencePool(seqs)
+
+    def step(t):
+        if args.removeMismatches:
+            t = tr.remove_mismatches(t)
+        else:
+            t = encode_mismatches(t, pool)
+        pafio.paf_check(t)
+        return t
+    try:
+        stream_transform(args, step)
+    except KeyError as e:
+        print(str(e.args[0]), file=sys.stderr)
+        return 1
     timer.done()
     return 0

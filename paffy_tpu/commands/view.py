@@ -16,7 +16,8 @@ from __future__ import annotations
 import sys
 import numpy as np
 
-from paffy_tpu.commands.common import base_parser, start, open_input, open_output
+from paffy_tpu.commands.common import (base_parser, start, open_input,
+                                        open_output, stream_tables)
 from paffy_tpu.core import pafio
 from paffy_tpu.core.model import QUERY_INSERT, QUERY_DELETE
 from paffy_tpu.core.fasta import load_sequences, COMPLEMENT_TABLE, UPPER_TABLE, seq_to_bytes
@@ -122,42 +123,42 @@ def main(argv) -> int:
     seqs = load_sequences(args.fasta_files)
     log_info("Read %d sequences from sequence files", len(seqs))
 
-    fh = open_input(args)
-    t = pafio.parse_paf_text(fh.read())
-    if fh is not sys.stdin:
-        fh.close()
-
-    # Fused stats: the per-column match/mismatch counts come straight from
-    # the device kernel; the re-encoded cigar is never materialized (the
-    # reference encodes then walks the cigar, impl/paf_view.c:167-178 — the
-    # stats are identical).
     pool = SequencePool(seqs)
-    stats = stats_calc(t)
-    try:
-        m_cols, x_cols = column_match_counts(t, pool)
-    except KeyError as e:
-        print(str(e.args[0]), file=sys.stderr)
-        return 1
-    is_m = t.ops == 0  # MATCH op lens were counted as matches; replace with
-    from paffy_tpu.core.segsum import segment_sums_by_offsets
-    m_op_lens = segment_sums_by_offsets(np.where(is_m, t.lens, 0), t.off)
-    stats["matches"] = stats["matches"] - m_op_lens + m_cols
-    stats["mismatches"] = stats["mismatches"] + x_cols
-
     out = open_output(args)
+    totals = np.zeros(6, dtype=np.int64)  # m, x, qi, qd, qib, qdb
+    n_total = 0
+    from paffy_tpu.core.segsum import segment_sums_by_offsets
     try:
-        if not args.noPerAlignmentStats:
-            for i in range(len(t)):
-                pretty_print_record(t, i, stats, out, args.includeAlignment, seqs)
-        tm = int(stats["matches"].sum())
-        tx = int(stats["mismatches"].sum())
-        tqi = int(stats["query_inserts"].sum())
-        tqd = int(stats["query_deletes"].sum())
-        tqib = int(stats["query_insert_bases"].sum())
-        tqdb = int(stats["query_delete_bases"].sum())
+        for t in stream_tables(args):
+            # Fused stats: per-column match/mismatch counts straight from the
+            # device kernel; the re-encoded cigar is never materialized (the
+            # reference encodes then walks the cigar, impl/paf_view.c:167-178
+            # — the stats are identical).
+            stats = stats_calc(t)
+            try:
+                m_cols, x_cols = column_match_counts(t, pool)
+            except KeyError as e:
+                print(str(e.args[0]), file=sys.stderr)
+                return 1
+            m_op_lens = segment_sums_by_offsets(
+                np.where(t.ops == 0, t.lens, 0), t.off)
+            stats["matches"] = stats["matches"] - m_op_lens + m_cols
+            stats["mismatches"] = stats["mismatches"] + x_cols
+            if not args.noPerAlignmentStats:
+                for i in range(len(t)):
+                    pretty_print_record(t, i, stats, out,
+                                        args.includeAlignment, seqs)
+            totals += np.array([stats["matches"].sum(),
+                                stats["mismatches"].sum(),
+                                stats["query_inserts"].sum(),
+                                stats["query_deletes"].sum(),
+                                stats["query_insert_bases"].sum(),
+                                stats["query_delete_bases"].sum()])
+            n_total += len(t)
+        tm, tx, tqi, tqd, tqib, tqdb = (int(v) for v in totals)
         if args.printAggregateStats:
             out.write(
-                f"Total-alignments:{len(t)}\tAvg-Identity:{_f(_ident(tm, tx))}"
+                f"Total-alignments:{n_total}\tAvg-Identity:{_f(_ident(tm, tx))}"
                 f"\tAvg-Identity-with-gaps:{_f(_ident_gaps(tm, tx, tqib, tqdb))}"
                 f"\tAligned-bases:{tm+tx}\tAligned-bases-with-gaps:{tm+tx+tqib+tqdb}"
                 f"\tQuery-inserts:{tqi}\tQuery-deletes:{tqd}\n")

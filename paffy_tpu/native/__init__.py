@@ -66,6 +66,10 @@ def get_lib():
         lib.paf_serialize_bound.argtypes = [ctypes.c_longlong,
                                             ctypes.c_longlong,
                                             ctypes.c_longlong]
+        lib.synth_query_pool.restype = None
+        lib.synth_query_pool.argtypes = [_U8P, ctypes.c_longlong, _I64P,
+                                         _I64P, _I64P, _U8P,
+                                         ctypes.c_longlong, ctypes.c_ulonglong]
         lib.column_compare_counts.restype = None
         lib.column_compare_counts.argtypes = [_U8P, ctypes.c_longlong,
                                               _I64P, _I64P, _I64P, _U8P,
@@ -181,3 +185,20 @@ def column_compare_counts(pool: np.ndarray, lens, qpos0, tpos0, rev, rec,
         _p_i64(np.ascontiguousarray(rec, dtype=np.int64)),
         _p_i64(m), _p_i64(x))
     return m, x
+
+
+def synth_query_pool(pool: np.ndarray, lens, qpos0, tpos0, rev,
+                     keep_per_mille: int = 965, seed: int = 7) -> bool:
+    """In-place benchmark pool synthesis (see paffy_io.cpp)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    lib.synth_query_pool(
+        _p_u8(pool), len(lens),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qpos0, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(tpos0, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
+        ctypes.c_longlong(keep_per_mille),
+        ctypes.c_ulonglong(seed))
+    return True

@@ -316,6 +316,46 @@ static void init_tables() {
     tables_init = true;
 }
 
+static inline unsigned long long mix64(unsigned long long x) {
+    x += 0x9e3779b97f4a7c15ULL;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+    return x ^ (x >> 31);
+}
+
+// Synthesize query bytes through the alignment map: copy the (possibly
+// complemented) target base with a deterministic per-column substitution at
+// rate (1000 - keep_per_mille)/1000.  Used by the benchmark to build
+// identical host/device pools without device scatters.
+void synth_query_pool(unsigned char* pool,
+                      long long n_mops,
+                      const long long* lens,
+                      const long long* qpos0,
+                      const long long* tpos0,
+                      const unsigned char* rev,
+                      long long keep_per_mille,
+                      unsigned long long seed) {
+    init_tables();
+    static const char bases[4] = {'A', 'C', 'G', 'T'};
+    unsigned long long col = 0;
+    for (long long j = 0; j < n_mops; ++j) {
+        const long long L = lens[j];
+        const unsigned char* tp = pool + tpos0[j];
+        unsigned char* qp = pool + qpos0[j];
+        const long long step = rev[j] ? -1 : 1;
+        for (long long i = 0; i < L; ++i) {
+            unsigned char src = tp[i];
+            if (rev[j]) src = COMP_TBL[src];
+            unsigned long long r = mix64(seed + col + i);
+            if ((long long)(r % 1000) >= keep_per_mille) {
+                src = bases[(r >> 12) & 3];
+            }
+            qp[i * step] = src;
+        }
+        col += (unsigned long long)L * 2654435761ULL;
+    }
+}
+
 // Count matching/mismatching columns per record over n_mops M runs.
 void column_compare_counts(const unsigned char* pool,
                            long long n_mops,

@@ -151,8 +151,11 @@ def _tiled_match_counts(pool_over, tbase, q0, rev, valid, rec_chunk_off):
     cm = jnp.concatenate([zero, jnp.cumsum(m_chunk)])
     cv = jnp.concatenate([zero, jnp.cumsum(v_chunk)])
     bounds = jnp.clip(rec_chunk_off, 0, m_chunk.shape[0])
-    m = (cm[bounds[1:]] - cm[bounds[:-1]]).astype(jnp.int64)
-    tot = (cv[bounds[1:]] - cv[bounds[:-1]]).astype(jnp.int64)
+    # int32 outputs: per-record counts < 2^31 by the pool-size precondition
+    # (any int64 op in a loop body lowers to u32-pair emulation and can blow
+    # scoped VMEM); numpy callers widen on the host
+    m = cm[bounds[1:]] - cm[bounds[:-1]]
+    tot = cv[bounds[1:]] - cv[bounds[:-1]]
     return m, tot - m
 
 
@@ -221,7 +224,7 @@ def tiled_match_counts(pool, b: MColumnBatch, n_records: int):
         pool_over, jnp.asarray(cb.tbase), jnp.asarray(cb.q0),
         jnp.asarray(cb.rev), jnp.asarray(cb.valid),
         jnp.asarray(cb.rec_chunk_off))
-    return np.asarray(m), np.asarray(x)
+    return np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
 
 
 def tiled_runs(pool, b: MColumnBatch, n_records: int):

@@ -233,3 +233,48 @@ def test_bin_scripts_subprocess(workload):
     r = subprocess.run([sys.executable, os.path.join(REPO, "bin", "faffy")],
                        capture_output=True, text=True, env=env, timeout=240)
     assert "faffy" in r.stderr
+
+
+def test_dedupe_inverse_transitivity(tmp_path):
+    # A kept; inverse(A) dropped via -a; an exact copy of inverse(A) later is
+    # also dropped (kept-set vs seen-set equivalence of the vectorized path)
+    lines = [
+        "q\t100\t0\t50\t+\tt\t200\t10\t60\t50\t50\t60",
+        "t\t200\t10\t60\t+\tq\t100\t0\t50\t50\t50\t60",   # inverse of A
+        "t\t200\t10\t60\t+\tq\t100\t0\t50\t50\t50\t60",   # copy of the dropped one
+        "q\t100\t1\t50\t-\tt\t200\t10\t60\t49\t49\t60",   # distinct record
+    ]
+    paf = tmp_path / "d.paf"
+    paf.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "o.paf"
+    assert run("paffy", "dedupe", "-a", "-i", str(paf), "-o", str(out)) == 0
+    t = read(str(out))
+    assert len(t) == 2
+    assert t.qname[0] == "q" and t.qname[1] == "q"
+
+
+def test_streaming_batches_do_not_change_output(workload, tmp_path, monkeypatch):
+    from paffy_tpu.commands import common
+    outs = {}
+    for bb in (None, 700):   # 700 bytes => many small batches
+        if bb:
+            monkeypatch.setattr(common, "BATCH_BYTES", bb)
+        else:
+            monkeypatch.setattr(common, "BATCH_BYTES", 256 * 1024 * 1024)
+        d = tmp_path / f"b{bb}"
+        d.mkdir()
+        for cmd, argv in [
+            ("invert", []),
+            ("shatter", []),
+            ("dedupe", ["-a"]),
+            ("trim", []),
+            ("filter", ["-t", "100"]),
+            ("add_mismatches", [workload["fasta"]]),
+            ("to_bed", []),
+        ]:
+            out = d / f"{cmd}.out"
+            assert run("paffy", cmd, "-i", workload["paf"], "-o", str(out),
+                       *argv) == 0
+            outs.setdefault(cmd, []).append(out.read_text())
+    for cmd, pair in outs.items():
+        assert pair[0] == pair[1], f"{cmd} output changed with batch size"
