@@ -10,12 +10,10 @@ a single-pass vectorized numpy pipeline on the host CPU (measured on a 16M
 column subset — the host here is a 2-vCPU machine), a stand-in for the
 reference's per-base C loop.
 
-Sequences are synthesized on-device to the golden file's exact coordinate
-structure with a ~96.5% column match rate (device PRNG; only the per-op
-metadata ships over the slow TPU tunnel).  Correctness of the kernel itself
-is covered by the oracle-checked unit suites; the bench asserts the exact
-structural invariant per record (matches + mismatches == M-column count) and
-the target identity.
+Sequences are synthesized by the native C helper to the golden file's exact
+coordinate structure with a ~96.5% column match rate; the device receives an
+identical copy of the pool, so the device results are cross-checked against
+the single-threaded C loop bit-for-bit.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Diagnostics go to stderr.
@@ -127,19 +125,22 @@ def bench_device(host_pool, b, t, iters=20):
     log(f"pool uploaded in {time.time()-t0:.1f}s to {jax.devices()[0]}")
 
     cb = build_chunk_batch(b, len(t))
-    log(f"tiled: {cb.n_chunks} chunks (pad {cb.u_pad})")
+    log(f"tiled: {cb.n_chunks} aligned chunks (pad {cb.u_pad})")
+    from paffy_tpu.ops.segments import POOL_W
+    pool2d = pool.reshape(-1, POOL_W)
     pool_over = build_pool_over(pool)
-    cargs = (jnp.asarray(cb.tbase), jnp.asarray(cb.q0), jnp.asarray(cb.rev),
-             jnp.asarray(cb.valid), jnp.asarray(cb.rec_chunk_off))
+    cargs = (jnp.asarray(cb.trow), jnp.asarray(cb.qwin_lo),
+             jnp.asarray(cb.rev), jnp.asarray(cb.lane_a),
+             jnp.asarray(cb.lane_b), jnp.asarray(cb.rec_chunk_off))
 
     t0 = time.time()
-    m, x = _tiled_match_counts(pool_over, *cargs)
-    mv, xv = np.asarray(m), np.asarray(x)
+    m, x = _tiled_match_counts(pool2d, pool_over, *cargs)
+    mv, xv = np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
     log(f"device: compile+first+fetch {time.time()-t0:.1f}s")
     times = []
     for _ in range(5):
         t0 = time.time()
-        m, x = _tiled_match_counts(pool_over, *cargs)
+        m, x = _tiled_match_counts(pool2d, pool_over, *cargs)
         np.asarray(m)
         times.append(time.time() - t0)
     dt = min(times)

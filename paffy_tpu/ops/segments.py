@@ -24,10 +24,11 @@ from paffy_tpu.core.segsum import segment_ids_from_offsets
 
 
 # Sequence-pool layout constants shared by the compare kernels: W-column
-# chunking (tiled kernel lanes) and guard bytes so chunk windows never index
-# outside the pool.
-POOL_W = 128
-POOL_GUARD = 128
+# chunking (tiled kernel row width) and guard bytes so chunk windows never
+# index outside the pool.  Wider rows gather faster per byte on TPU
+# (measured: ~6 GB/s at 256B rows vs ~12 GB/s at 1KB rows).
+POOL_W = 512
+POOL_GUARD = 512
 
 
 def bucket_size(n: int, minimum: int = 256) -> int:

@@ -43,7 +43,7 @@ from paffy_tpu.ops.segments import MColumnBatch, bucket_size, pad_to, POOL_W
 from paffy_tpu.ops.mismatch import device_upper, device_comp_upper
 
 W = POOL_W
-LOGW = 7
+LOGW = POOL_W.bit_length() - 1
 
 
 @dataclass
