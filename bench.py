@@ -71,7 +71,7 @@ def build_columns(t):
                      for i in range(len(t))], dtype=np.int64)
     toff = np.array([offsets[keys[(t.tname[i], int(t.tlen[i]))]]
                      for i in range(len(t))], dtype=np.int64)
-    pool_size = -(-(int(offsets[-1]) + 2 * POOL_W) // POOL_W) * POOL_W
+    pool_size = -(-(int(offsets[-1]) + POOL_GUARD + 2 * POOL_W) // POOL_W) * POOL_W
     return build_m_column_batch(t, qoff, toff), pool_size
 
 
@@ -116,31 +116,38 @@ def bench_device(host_pool, b, t, iters=20):
     refine with ``iters`` executions inside one fori_loop dispatch."""
     import jax
     import jax.numpy as jnp
-    from paffy_tpu.ops.tiled import (build_chunk_batch, build_pool_over,
+    from paffy_tpu.ops.tiled import (build_chunk_batch, build_ext_phase_views,
                                      _tiled_match_counts)
+    from paffy_tpu.ops.mismatch import build_ext_pool
 
     t0 = time.time()
     pool = jax.device_put(host_pool)
     pool.block_until_ready()
     log(f"pool uploaded in {time.time()-t0:.1f}s to {jax.devices()[0]}")
 
-    cb = build_chunk_batch(b, len(t))
+    t0 = time.time()
+    ext = build_ext_pool(pool)
+    ext.block_until_ready()
+    log(f"ext pool built in {time.time()-t0:.2f}s")
+
+    cb = build_chunk_batch(b, len(t), pool_len=pool.shape[0])
     log(f"tiled: {cb.n_chunks} aligned chunks (pad {cb.u_pad})")
     from paffy_tpu.ops.segments import POOL_W
-    pool2d = pool.reshape(-1, POOL_W)
-    pool_over = build_pool_over(pool)
+    ext2d = ext.reshape(-1, POOL_W)
+    views = build_ext_phase_views(ext)
+    views.block_until_ready()
     cargs = (jnp.asarray(cb.trow), jnp.asarray(cb.qwin_lo),
-             jnp.asarray(cb.rev), jnp.asarray(cb.lane_a),
-             jnp.asarray(cb.lane_b), jnp.asarray(cb.rec_chunk_off))
+             jnp.asarray(cb.lane_a), jnp.asarray(cb.lane_b),
+             jnp.asarray(cb.rec_chunk_off))
 
     t0 = time.time()
-    m, x = _tiled_match_counts(pool2d, pool_over, *cargs)
+    m, x = _tiled_match_counts(ext2d, views, *cargs)
     mv, xv = np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
     log(f"device: compile+first+fetch {time.time()-t0:.1f}s")
     times = []
     for _ in range(5):
         t0 = time.time()
-        m, x = _tiled_match_counts(pool2d, pool_over, *cargs)
+        m, x = _tiled_match_counts(ext2d, views, *cargs)
         np.asarray(m)
         times.append(time.time() - t0)
     dt = min(times)

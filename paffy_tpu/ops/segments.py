@@ -28,7 +28,10 @@ from paffy_tpu.core.segsum import segment_ids_from_offsets
 # index outside the pool.  Wider rows gather faster per byte on TPU
 # (measured: ~6 GB/s at 256B rows vs ~12 GB/s at 1KB rows).
 POOL_W = 512
-POOL_GUARD = 512
+# Guards at BOTH ends of every pool: the Pallas compare kernel
+# (ops/pallas_compare.py) DMAs a full 4096-byte piece window whose start can
+# precede a sequence (reverse pieces) and whose end can overhang it.
+POOL_GUARD = 4096
 
 
 def bucket_size(n: int, minimum: int = 256) -> int:

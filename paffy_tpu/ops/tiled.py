@@ -3,25 +3,31 @@ batches.
 
 Why this exists: XLA lowers huge 1-D element gathers on TPU at ~75M
 elements/s (measured: 1.7 s for a 128M-element u8 gather), which made the
-naive per-column formulation run at CPU speed.  Row gathers of 128-lane
-vectors run ~30-50x faster per byte (the embedding-lookup pattern), and row
-gather BANDWIDTH — not per-row overhead — is the limit (~6-15 GB/s
-measured), so the kernel minimizes gathered bytes:
+naive per-column formulation run at CPU speed.  Row gathers run at ~7-14
+GB/s regardless of row width (byte-bound copy loop), so the kernel minimizes
+gathered bytes AND — just as important, measured at ~60% of kernel time
+before — the number of elementwise passes over the gathered arrays:
 
-  * chunks are ALIGNED to the W=128-byte row grid of the sequence pool on
-    the TARGET side: each chunk is one pool row, fetched with a single
-    direct row gather and no shifting — zero redundancy.  Partial first and
-    last rows of a run are handled with lane bounds, not shifts.
-  * the QUERY side walks at a per-run phase offset, so it fetches a 2W
-    overlapped window per chunk (pool_over rows) and aligns it with a
-    log2(W)-step variable shift (static rolls); reverse-strand chunks flip
-    their window (static permutation).
-  * case-fold/complement are arithmetic selects (tiny-table u8 gathers
-    serialize on TPU; see ops.mismatch).
+  * both sides read the EXTENDED pool (mismatch.build_ext_pool): both halves
+    pre-uppercased, the mirror half reverse-complemented.  The kernel is a
+    pure byte equality: no case-fold, no complement, no flip — a
+    reverse-strand run's descending query walk from pool position s is an
+    ascending read at ext[2L-1-s], so reverse runs use the forward path.
+  * chunks are ALIGNED to the W-byte row grid of the pool on the TARGET
+    side: each chunk is one pool row, fetched with a single direct row
+    gather and no shifting.  Partial first and last rows of a run are
+    handled with lane bounds, not shifts.
+  * the QUERY side walks at a per-run phase offset, so it fetches a
+    (W//4)-quantized overlapped window per chunk from one of 4 phase-shifted
+    row views (build_ext_phase_views) and aligns the residual (< W//4) with
+    a 7-step variable shift (static rolls).  Quantized views cut query
+    gather bytes from 2W to W+W/4 per chunk and drop 2 roll passes.
   * per-record reductions are cumsums over the chunk grid + gathers at
     record chunk boundaries (scatter segment-sums serialize on TPU).
   * int32 everywhere (int64 lowers to u32-pair emulation on TPU and can
     blow scoped VMEM).
+  * chunk-grid padding is linear (64k steps) above 64k chunks — power-of-two
+    bucketing wasted up to 2x kernel time on real batch sizes.
 
 The grid layout (chunks in record->op->column order, valid lanes contiguous
 in [lane_a, lane_b) per chunk) also serves the =/X run extraction:
@@ -40,10 +46,27 @@ import jax
 import jax.numpy as jnp
 
 from paffy_tpu.ops.segments import MColumnBatch, bucket_size, pad_to, POOL_W
-from paffy_tpu.ops.mismatch import device_upper, device_comp_upper
 
 W = POOL_W
 LOGW = POOL_W.bit_length() - 1
+
+_LINEAR_STEP = 1 << 14   # chunk-grid padding granularity above 16k chunks
+
+# query phase views: 4 copies of the ext pool's row grid shifted by
+# PHASE_STEP bytes, each row PHASE_W wide (so any byte phase needs only a
+# < PHASE_STEP residual shift)
+N_PHASE = 4
+PHASE_STEP = W // N_PHASE            # 128
+PHASE_W = W + PHASE_STEP             # 640 (multiple of 128 lanes)
+LOG_STEP = PHASE_STEP.bit_length() - 1
+
+
+def grid_pad(n: int) -> int:
+    """Padding size for the chunk grid: power-of-two buckets while small
+    (bounds compile count), 64k-linear above (bounds padding waste)."""
+    if n <= _LINEAR_STEP:
+        return bucket_size(max(n, 1), minimum=64)
+    return -(-n // _LINEAR_STEP) * _LINEAR_STEP
 
 
 @dataclass
@@ -52,20 +75,20 @@ class AlignedChunkBatch:
 
     One chunk per pool row touched by a run's target range.  Arrays are
     padded to ``u_pad`` rows; padding chunks have lane_a == lane_b == 0.
+    All positions are EXTENDED-pool coordinates (reverse-strand query
+    positions pre-mirrored into the reverse-complement half).
 
       trow        — target pool row index (chunk target bytes = that row)
-      qwin_lo     — start of the ascending W-byte query window
-      rev         — query walks backward (opposite strand)
+      qwin_lo     — start of the ascending W-byte query window (ext coords)
       lane_a/b    — valid lane range [lane_a, lane_b) within the row
       first_of_op — chunk is the first of its run
-      tprev/qprev — pool positions of the previous column's bytes (run-
+      tprev/qprev — ext positions of the previous column's bytes (run-
                     boundary carry for =/X extraction; 0 on first chunks)
       rec_chunk_off — record -> first chunk row [n_records+1]
     """
 
     trow: np.ndarray
     qwin_lo: np.ndarray
-    rev: np.ndarray
     lane_a: np.ndarray
     lane_b: np.ndarray
     first_of_op: np.ndarray
@@ -77,18 +100,26 @@ class AlignedChunkBatch:
     u_pad: int
 
 
-def build_chunk_batch(b: MColumnBatch, n_records: int) -> AlignedChunkBatch:
-    """Decompose the M runs of a column batch into pool-row-aligned chunks."""
+def build_chunk_batch(b: MColumnBatch, n_records: int,
+                      pool_len: int) -> AlignedChunkBatch:
+    """Decompose the M runs of a column batch into pool-row-aligned chunks.
+
+    pool_len — length L of the unextended pool; reverse-strand query
+    positions are mirrored to 2L-1-s (the ext pool's RC half).
+    """
     lens = b.lens[: b.n_mops].astype(np.int64)
     tpos0 = b.tpos0[: b.n_mops].astype(np.int64)
     qpos0 = b.qpos0[: b.n_mops].astype(np.int64)
     rev_op = b.rev[: b.n_mops]
+    # mirror reverse-strand query walks into the ext pool's RC half: the
+    # descending complemented walk from qpos0 becomes ascending and plain
+    qpos0e = np.where(rev_op, 2 * pool_len - 1 - qpos0, qpos0)
 
     row_lo = tpos0 >> LOGW
     row_hi = (tpos0 + lens - 1) >> LOGW
     n_chunks_per_op = row_hi - row_lo + 1
     u = int(n_chunks_per_op.sum())
-    u_pad = bucket_size(max(u, 1), minimum=64)
+    u_pad = grid_pad(u)
 
     chunk_off = np.zeros(b.n_mops + 1, dtype=np.int64)
     np.cumsum(n_chunks_per_op, out=chunk_off[1:])
@@ -103,21 +134,13 @@ def build_chunk_batch(b: MColumnBatch, n_records: int) -> AlignedChunkBatch:
                       W).astype(np.int32)
 
     # query window: valid lane l corresponds to run column
-    # col = trow*W + l - tpos0; the query byte sits at qpos0 +/- col.
-    # forward: q(l) = (qpos0 - tpos0 + trow*W) + l  -> ascending from there
-    # reverse: q(l) = (qpos0 + tpos0 - trow*W) - l  -> flipped window over
-    #          [base - (W-1), base]
-    revc = rev_op[mop]
-    fwd_base = qpos0[mop] - tpos0[mop] + trow * W
-    rev_base = qpos0[mop] + tpos0[mop] - trow * W
-    qwin_lo = np.where(revc, rev_base - (W - 1), fwd_base)
+    # col = trow*W + l - tpos0; the query byte sits at qpos0e + col.
+    qwin_lo = qpos0e[mop] - tpos0[mop] + trow * W
 
     # previous-column carry bytes (used only when not first_of_op)
     col_a = trow * W + lane_a - tpos0[mop]
     tprev = np.where(first, 0, tpos0[mop] + col_a - 1)
-    qprev = np.where(first, 0,
-                     np.where(revc, qpos0[mop] - (col_a - 1),
-                              qpos0[mop] + (col_a - 1)))
+    qprev = np.where(first, 0, qpos0e[mop] + (col_a - 1))
 
     rec_of_mop = b.rec[: b.n_mops]
     first_mop = np.searchsorted(rec_of_mop, np.arange(n_records + 1),
@@ -126,50 +149,65 @@ def build_chunk_batch(b: MColumnBatch, n_records: int) -> AlignedChunkBatch:
     rec_chunk_off[-1] = u
 
     n_cols = int(lens.sum())
-    small = (int(trow.max(initial=0)) * W + 2 * W < 2**31
-             and int(np.abs(qwin_lo).max(initial=0) if u else 0) + 2 * W < 2**31)
-    pos_t = np.int32 if small else np.int64
+    small = 2 * pool_len + 2 * W < 2**31
+    assert small or u == 0, "ext pool exceeds int32 addressing"
+    pos_t = np.int32
     return AlignedChunkBatch(
         trow=pad_to(trow.astype(pos_t), u_pad),
-        qwin_lo=pad_to(qwin_lo.astype(pos_t), u_pad),
-        rev=pad_to(revc, u_pad, fill=False),
+        qwin_lo=pad_to(np.maximum(qwin_lo, 0).astype(pos_t), u_pad),
         lane_a=pad_to(lane_a, u_pad),
         lane_b=pad_to(lane_b.astype(np.int32), u_pad),
         first_of_op=pad_to(first, u_pad, fill=False),
         tprev=pad_to(tprev.astype(pos_t), u_pad),
         qprev=pad_to(qprev.astype(pos_t), u_pad),
-        rec_chunk_off=(rec_chunk_off.astype(np.int32) if small
-                       else rec_chunk_off),
+        rec_chunk_off=rec_chunk_off.astype(np.int32),
         n_chunks=u, n_cols=n_cols, u_pad=u_pad)
 
 
 @jax.jit
-def build_pool_over(pool):
-    """pool (guarded, length multiple of W) -> overlapped rows [R, 2W]."""
-    a = pool[:-W].reshape(-1, W)
-    c = pool[W:].reshape(-1, W)
-    return jnp.concatenate([a, c], axis=1)
+def build_ext_phase_views(ext):
+    """ext pool -> stacked phase row views [N_PHASE * R_v, PHASE_W].
+
+    View c, row r covers ext[W*r + PHASE_STEP*c : ... + PHASE_W], so a query
+    window at any byte offset q is inside view row (c, r) with
+    c = (q % W) // PHASE_STEP, r = q // W, at residual offset q % PHASE_STEP
+    — dense slicing to build (no gathers), one row gather + a < PHASE_STEP
+    shift to use.
+    """
+    n = ext.shape[0]
+    r_v = (n - PHASE_W) // W      # last rows dropped: covered by pool guards
+    views = []
+    for c in range(N_PHASE):
+        base = PHASE_STEP * c
+        a = jax.lax.dynamic_slice(ext, (base,), (r_v * W,)).reshape(-1, W)
+        b = jax.lax.dynamic_slice(ext, (base + W,),
+                                  (r_v * W,)).reshape(-1, W)[:, :PHASE_STEP]
+        views.append(jnp.concatenate([a, b], axis=1))
+    return jnp.concatenate(views, axis=0)
 
 
 def _var_shift(win, off):
-    """Per-row left-rotate of [U, 2W] windows by off in [0, W)."""
-    for bpow in range(LOGW):
+    """Per-row left-rotate of [U, PHASE_W] windows by off in [0, PHASE_STEP)."""
+    for bpow in range(LOG_STEP):
         s = 1 << bpow
         win = jnp.where((off & s).astype(bool)[:, None],
                         jnp.roll(win, -s, axis=1), win)
     return win
 
 
-def _chunk_is_match(pool2d, pool_over, trow, qwin_lo, rev):
-    """[U, W] match grid: aligned target rows vs shifted query windows."""
-    tb = pool2d[trow]                               # aligned: no shift
-    q_lo = jnp.clip(qwin_lo, 0, (pool_over.shape[0] - 1) * W)
-    q_win = _var_shift(pool_over[q_lo >> LOGW], q_lo & (W - 1))[:, :W]
-    qb = jnp.where(rev[:, None], jnp.flip(q_win, axis=1), q_win)
-    tb = device_upper(tb)
-    qb = device_upper(qb)
-    qb = jnp.where(rev[:, None], device_comp_upper(qb), qb)
-    return tb == qb
+def _chunk_is_match(ext2d, views, trow, qwin_lo):
+    """[U, W] match grid: aligned target rows vs shifted query windows.
+
+    Pure byte equality — both operands come pre-folded from the ext pool.
+    """
+    tb = ext2d[trow]                                # aligned: no shift
+    r_v = views.shape[0] // N_PHASE
+    phase = qwin_lo & (W - 1)
+    c = phase >> LOG_STEP
+    res = qwin_lo & (PHASE_STEP - 1)
+    r = jnp.clip(qwin_lo >> LOGW, 0, r_v - 1)
+    q_win = _var_shift(views[c * r_v + r], res)[:, :W]
+    return tb == q_win
 
 
 def _lane_mask(lane_a, lane_b):
@@ -178,10 +216,10 @@ def _lane_mask(lane_a, lane_b):
 
 
 @jax.jit
-def _tiled_match_counts(pool2d, pool_over, trow, qwin_lo, rev, lane_a, lane_b,
+def _tiled_match_counts(ext2d, views, trow, qwin_lo, lane_a, lane_b,
                         rec_chunk_off):
     """Per-record (match, mismatch) counts over the aligned chunk grid."""
-    is_match = _chunk_is_match(pool2d, pool_over, trow, qwin_lo, rev)
+    is_match = _chunk_is_match(ext2d, views, trow, qwin_lo)
     vmask = _lane_mask(lane_a, lane_b)
     m_chunk = jnp.sum((is_match & vmask).astype(jnp.int32), axis=1)
     v_chunk = (lane_b - lane_a).astype(jnp.int32)
@@ -196,7 +234,7 @@ def _tiled_match_counts(pool2d, pool_over, trow, qwin_lo, rev, lane_a, lane_b,
 
 
 @jax.jit
-def _tiled_boundaries(pool2d, pool_over, pool, trow, qwin_lo, rev, lane_a,
+def _tiled_boundaries(ext2d, views, ext, trow, qwin_lo, lane_a,
                       lane_b, first_of_op, tprev, qprev):
     """Run-boundary grid for =/X re-encoding.
 
@@ -207,17 +245,15 @@ def _tiled_boundaries(pool2d, pool_over, pool, trow, qwin_lo, rev, lane_a,
     differs from the previous chunk's last column (recomputed with two
     element gathers per chunk via tprev/qprev).
     """
-    is_match = _chunk_is_match(pool2d, pool_over, trow, qwin_lo, rev)
+    is_match = _chunk_is_match(ext2d, views, trow, qwin_lo)
     vmask = _lane_mask(lane_a, lane_b)
     lane = jnp.arange(W, dtype=jnp.int32)[None, :]
     flip = jnp.concatenate(
         [jnp.zeros((is_match.shape[0], 1), dtype=bool),
          is_match[:, 1:] != is_match[:, :-1]], axis=1)
-    limit = pool.shape[0] - 1
-    tpb = device_upper(pool[jnp.clip(tprev, 0, limit)])
-    qpb = device_upper(pool[jnp.clip(qprev, 0, limit)])
-    qpb = jnp.where(rev, device_comp_upper(qpb), qpb)
-    prev_match = tpb == qpb
+    limit = ext.shape[0] - 1
+    prev_match = (ext[jnp.clip(tprev, 0, limit)]
+                  == ext[jnp.clip(qprev, 0, limit)])
     im_at_a = jnp.take_along_axis(is_match, lane_a[:, None].astype(jnp.int32),
                                   axis=1)[:, 0]
     firstlane_bound = jnp.where(first_of_op, True, im_at_a != prev_match)
@@ -251,32 +287,33 @@ def _extract_runs_tiled(boundary, is_match, lane_a, lane_b, r_pad):
 
 # --------------------------------------------------------------- public API
 
-def _pool2d(pool):
-    return pool.reshape(-1, W)
+def _ext2d(ext):
+    return ext.reshape(-1, W)
 
 
-def tiled_match_counts(pool, b: MColumnBatch, n_records: int):
+def tiled_match_counts(ext, b: MColumnBatch, n_records: int):
     """Per-record column match/mismatch counts via the tiled kernel.
 
-    ``pool`` must be the guarded device pool from SequencePool.
+    ``ext`` must be the extended pool (mismatch.build_ext_pool / pool.ext).
     """
-    cb = build_chunk_batch(b, n_records)
+    cb = build_chunk_batch(b, n_records, pool_len=ext.shape[0] // 2)
     m, x = _tiled_match_counts(
-        _pool2d(pool), build_pool_over(pool), jnp.asarray(cb.trow),
-        jnp.asarray(cb.qwin_lo), jnp.asarray(cb.rev), jnp.asarray(cb.lane_a),
+        _ext2d(ext), build_ext_phase_views(ext), jnp.asarray(cb.trow),
+        jnp.asarray(cb.qwin_lo), jnp.asarray(cb.lane_a),
         jnp.asarray(cb.lane_b), jnp.asarray(cb.rec_chunk_off))
     return np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
 
 
-def tiled_runs(pool, b: MColumnBatch, n_records: int):
+def tiled_runs(ext, b: MColumnBatch, n_records: int):
     """Compact =/X run decomposition via the tiled kernel.
 
     Returns (start_cols [n_runs], match_at_start [n_runs]).
+    ``ext`` must be the extended pool (mismatch.build_ext_pool / pool.ext).
     """
-    cb = build_chunk_batch(b, n_records)
+    cb = build_chunk_batch(b, n_records, pool_len=ext.shape[0] // 2)
     boundary, is_match = _tiled_boundaries(
-        _pool2d(pool), build_pool_over(pool), pool, jnp.asarray(cb.trow),
-        jnp.asarray(cb.qwin_lo), jnp.asarray(cb.rev), jnp.asarray(cb.lane_a),
+        _ext2d(ext), build_ext_phase_views(ext), ext, jnp.asarray(cb.trow),
+        jnp.asarray(cb.qwin_lo), jnp.asarray(cb.lane_a),
         jnp.asarray(cb.lane_b), jnp.asarray(cb.first_of_op),
         jnp.asarray(cb.tprev), jnp.asarray(cb.qprev))
     n_runs = int(_count_runs_tiled(boundary))

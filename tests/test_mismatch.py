@@ -229,3 +229,21 @@ def test_tiled_exact_chunk_boundaries(monkeypatch):
             ops, lens = t2.record_ops(0)
             got = list(zip([int(o) for o in ops], [int(l) for l in lens]))
             assert got == expect, f"len {ln} strand {strand}"
+
+
+def test_pallas_piece_kernel_interpret():
+    # the DMA-gather Pallas kernel (ops/pallas_compare), interpret mode
+    from paffy_tpu.ops import mismatch as mm
+    from paffy_tpu.ops.pallas_compare import pallas_match_counts
+    from paffy_tpu.ops.segments import build_m_column_batch
+    import synthdata
+    from paffy_tpu.core.pafio import parse_paf_text
+    seqs, lines = synthdata.make_workload(seed=31, length=20000, n_windows=30,
+                                          window=2500, step=600)
+    t = parse_paf_text("\n".join(lines) + "\n")
+    pool = mm.SequencePool(seqs)
+    m0, x0 = mm.column_match_counts(t, pool)
+    b = build_m_column_batch(t, pool.offsets_for(t.qname, "query"),
+                             pool.offsets_for(t.tname, "target"))
+    m1, x1 = pallas_match_counts(pool.pool, b, len(t), interpret=True)
+    assert np.array_equal(m0, m1) and np.array_equal(x0, x1)
