@@ -116,8 +116,9 @@ def bench_device(host_pool, b, t, iters=20):
     refine with ``iters`` executions inside one fori_loop dispatch."""
     import jax
     import jax.numpy as jnp
-    from paffy_tpu.ops.tiled import (build_chunk_batch, build_ext_phase_views,
-                                     _tiled_match_counts)
+    from paffy_tpu.ops.tiled import (build_packed_chunk_batch,
+                                     build_packed_pools,
+                                     _packed_match_counts)
     from paffy_tpu.ops.mismatch import build_ext_pool
 
     t0 = time.time()
@@ -127,27 +128,24 @@ def bench_device(host_pool, b, t, iters=20):
 
     t0 = time.time()
     ext = build_ext_pool(pool)
-    ext.block_until_ready()
-    log(f"ext pool built in {time.time()-t0:.2f}s")
+    packed2d, pviews = build_packed_pools(ext)
+    packed2d.block_until_ready()
+    log(f"ext + 4-bit packed pools built in {time.time()-t0:.2f}s")
 
-    cb = build_chunk_batch(b, len(t), pool_len=pool.shape[0])
-    log(f"tiled: {cb.n_chunks} aligned chunks (pad {cb.u_pad})")
-    from paffy_tpu.ops.segments import POOL_W
-    ext2d = ext.reshape(-1, POOL_W)
-    views = build_ext_phase_views(ext)
-    views.block_until_ready()
-    cargs = (jnp.asarray(cb.trow), jnp.asarray(cb.qwin_lo),
-             jnp.asarray(cb.lane_a), jnp.asarray(cb.lane_b),
-             jnp.asarray(cb.rec_chunk_off))
+    cb = build_packed_chunk_batch(b, len(t), pool_len=pool.shape[0])
+    log(f"packed tiled: {cb.n_chunks} aligned chunks (pad {cb.u_pad})")
+    cargs = (jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
+             jnp.asarray(cb.qpar), jnp.asarray(cb.col_a),
+             jnp.asarray(cb.col_b), jnp.asarray(cb.rec_chunk_off))
 
     t0 = time.time()
-    m, x = _tiled_match_counts(ext2d, views, *cargs)
+    m, x = _packed_match_counts(packed2d, pviews, *cargs)
     mv, xv = np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
     log(f"device: compile+first+fetch {time.time()-t0:.1f}s")
     times = []
     for _ in range(5):
         t0 = time.time()
-        m, x = _tiled_match_counts(ext2d, views, *cargs)
+        m, x = _packed_match_counts(packed2d, pviews, *cargs)
         np.asarray(m)
         times.append(time.time() - t0)
     dt = min(times)

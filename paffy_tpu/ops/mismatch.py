@@ -148,9 +148,12 @@ class SequencePool:
         buf = np.zeros(padded, dtype=np.uint8)
         buf[POOL_GUARD: POOL_GUARD + len(pool_np)] = pool_np
         self._guard = POOL_GUARD
+        self._data_len = len(pool_np)
         self._pool_np = buf
         self.pool = jnp.asarray(buf)
         self._ext = None
+        self._packed = None
+        self._has_exotic = None
 
     @property
     def ext(self):
@@ -158,6 +161,25 @@ class SequencePool:
         if self._ext is None:
             self._ext = build_ext_pool(self.pool)
         return self._ext
+
+    @property
+    def has_exotic(self) -> bool:
+        """True iff any sequence byte (case-folded) is outside the 15-char
+        IUPAC set the 4-bit packed kernel can represent exactly."""
+        if self._has_exotic is None:
+            from paffy_tpu.ops.tiled import _code4
+            data = jax.lax.dynamic_slice(self.ext, (self._guard,),
+                                         (max(self._data_len, 1),))
+            self._has_exotic = bool(np.asarray(jnp.any(_code4(data) == 15)))
+        return self._has_exotic
+
+    @property
+    def packed(self):
+        """(packed2d, pviews) for the 4-bit kernel, built lazily and cached."""
+        if self._packed is None:
+            from paffy_tpu.ops.tiled import build_packed_pools
+            self._packed = build_packed_pools(self.ext)
+        return self._packed
 
     def offsets_for(self, names: np.ndarray, role: str) -> np.ndarray:
         out = np.empty(len(names), dtype=np.int64)
@@ -182,8 +204,14 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
         z = np.zeros(len(t), dtype=np.int64)
         return z, z.copy()
     if b.n_cols >= TILED_THRESHOLD:
-        from paffy_tpu.ops.tiled import tiled_match_counts
-        m, x = tiled_match_counts(pool.ext, b, len(t))
+        if not pool.has_exotic:
+            from paffy_tpu.ops.tiled import packed_match_counts
+            packed2d, pviews = pool.packed
+            m, x = packed_match_counts(packed2d, pviews, b, len(t),
+                                       pool.pool.shape[0])
+        else:
+            from paffy_tpu.ops.tiled import tiled_match_counts
+            m, x = tiled_match_counts(pool.ext, b, len(t))
         return m.astype(np.int64), x.astype(np.int64)
     m, x = _column_match_counts(
         pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0), jnp.asarray(b.tpos0),

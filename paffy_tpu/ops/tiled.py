@@ -322,3 +322,172 @@ def tiled_runs(ext, b: MColumnBatch, n_records: int):
                                        jnp.asarray(cb.lane_a),
                                        jnp.asarray(cb.lane_b), r_pad=r_pad)
     return np.asarray(starts[:n_runs]), np.asarray(vals[:n_runs])
+
+
+# ---------------------------------------------------------------- 4-bit path
+#
+# Counts-only fast path: both pools re-encoded at 4 bits/base (2 columns per
+# byte), halving gathered bytes AND shift-chain bytes.  Exact for sequences
+# whose bases are in the 15-char IUPAC set below (case folding already
+# applied by the ext pool); pools containing any other byte fall back to the
+# unpacked kernel (SequencePool.has_exotic).
+#
+# Layout: for parity p in {0,1}, packed pool P_p[i] = code(ext[2i+p]) |
+# code(ext[2i+p+1]) << 4.  A run whose target starts at unpacked position
+# t sits at nibble 0 of packed byte (t - t%2)/2 of parity t%2 — so chunks
+# stay row-aligned on the target side, and the query window picks ITS OWN
+# parity so that even local columns are low nibbles on both sides (the
+# parity choice absorbs the odd/even misalignment; the byte-level residual
+# uses the same phase views + roll chain as the unpacked kernel, on half
+# the bytes).
+
+_IUPAC15 = b"ACGTNMKRYVBHDWS"          # code = index; anything else -> 15
+PACK_COLS = 2 * W                       # columns per packed chunk row
+
+
+@jax.jit
+def _code4(ext):
+    codes = jnp.full(ext.shape, 15, jnp.uint8)
+    for i, ch in enumerate(_IUPAC15):
+        codes = jnp.where(ext == ch, jnp.uint8(i), codes)
+    return codes
+
+
+@jax.jit
+def build_packed_pools(ext):
+    """ext [2L] -> (packed2d [2*Rp, W], pviews [2*N_PHASE*Rv, PHASE_W]).
+
+    packed2d stacks the parity-0 and parity-1 packed pools' row grids
+    (target gather: row = parity*Rp + packed_row); pviews stacks each
+    parity's phase views (query gather: row = parity*N_PHASE*Rv + c*Rv + r).
+    """
+    n = ext.shape[0]
+    codes = jnp.concatenate([_code4(ext), jnp.full(2, 15, jnp.uint8)])
+    packed = []
+    for par in (0, 1):
+        lo = jax.lax.dynamic_slice(codes, (par,), (n,))[0::2]
+        hi = jax.lax.dynamic_slice(codes, (par + 1,), (n,))[0::2]
+        packed.append(lo | (hi * jnp.uint8(16)))
+    packed2d = jnp.concatenate([p.reshape(-1, W) for p in packed])
+    pviews = jnp.concatenate([build_ext_phase_views(p) for p in packed])
+    return packed2d, pviews
+
+
+@dataclass
+class PackedChunkBatch:
+    """Packed-row-aligned chunk decomposition (4-bit counts path).
+
+    trow     — row into the stacked packed2d (parity pre-folded)
+    qwin     — packed-byte offset of the query window in its parity pool
+    qpar     — query parity (selects the pviews half)
+    col_a/b  — valid COLUMN range [col_a, col_b) within the 2W-column chunk
+    rec_chunk_off — record -> first chunk row [n_records+1]
+    """
+
+    trow: np.ndarray
+    qwin: np.ndarray
+    qpar: np.ndarray
+    col_a: np.ndarray
+    col_b: np.ndarray
+    rec_chunk_off: np.ndarray
+    n_chunks: int
+    n_cols: int
+    u_pad: int
+
+
+def build_packed_chunk_batch(b: MColumnBatch, n_records: int,
+                             pool_len: int) -> PackedChunkBatch:
+    lens = b.lens[: b.n_mops].astype(np.int64)
+    tpos0 = b.tpos0[: b.n_mops].astype(np.int64)
+    qpos0 = b.qpos0[: b.n_mops].astype(np.int64)
+    rev_op = b.rev[: b.n_mops]
+    qpos0e = np.where(rev_op, 2 * pool_len - 1 - qpos0, qpos0)
+
+    tpar = (tpos0 & 1).astype(np.int64)
+    base_t = (tpos0 - tpar) >> 1            # packed byte of column 0
+    last_b = base_t + ((lens - 1) >> 1)     # packed byte of last column
+    row_lo = base_t >> LOGW
+    row_hi = last_b >> LOGW
+    n_chunks_per_op = row_hi - row_lo + 1
+    u = int(n_chunks_per_op.sum())
+    u_pad = grid_pad(u)
+
+    chunk_off = np.zeros(b.n_mops + 1, dtype=np.int64)
+    np.cumsum(n_chunks_per_op, out=chunk_off[1:])
+    mop = np.searchsorted(chunk_off[1:], np.arange(u), side="right")
+    c_in_op = np.arange(u) - chunk_off[mop]
+    prow = row_lo[mop] + c_in_op            # packed row within parity pool
+
+    # local column of packed-lane 0 relative to the run: c_base (<=0 on the
+    # first chunk); valid local columns are [col_a, col_b)
+    c_base = 2 * (prow * W - base_t[mop])
+    col_a = np.maximum(-c_base, 0).astype(np.int32)
+    col_b = np.clip(lens[mop] - c_base, 0, PACK_COLS).astype(np.int32)
+
+    rp = pool_len // W                      # rows per parity pool
+    trow = tpar[mop] * rp + prow
+
+    # query window: unpacked query position of local column 0
+    qj = qpos0e[mop] + c_base
+    qpar = (qj & 1).astype(np.int32)
+    qwin = (qj - qpar) >> 1                 # packed byte offset, own parity
+
+    rec_of_mop = b.rec[: b.n_mops]
+    first_mop = np.searchsorted(rec_of_mop, np.arange(n_records + 1),
+                                side="left")
+    rec_chunk_off = chunk_off[np.minimum(first_mop, b.n_mops)]
+    rec_chunk_off[-1] = u
+
+    assert pool_len + 2 * W < 2**31
+    return PackedChunkBatch(
+        trow=pad_to(trow.astype(np.int32), u_pad),
+        qwin=pad_to(np.maximum(qwin, 0).astype(np.int32), u_pad),
+        qpar=pad_to(qpar, u_pad),
+        col_a=pad_to(col_a, u_pad),
+        col_b=pad_to(col_b, u_pad),
+        rec_chunk_off=rec_chunk_off.astype(np.int32),
+        n_chunks=u, n_cols=int(lens.sum()), u_pad=u_pad)
+
+
+@jax.jit
+def _packed_match_counts(packed2d, pviews, trow, qwin, qpar, col_a, col_b,
+                         rec_chunk_off):
+    """Per-record (match, mismatch) counts over the packed chunk grid."""
+    tb = packed2d[trow]                                   # (U, W) u8
+    r_v = pviews.shape[0] // (2 * N_PHASE)
+    c = (qwin & (W - 1)) >> LOG_STEP
+    res = qwin & (PHASE_STEP - 1)
+    r = jnp.clip(qwin >> LOGW, 0, r_v - 1)
+    qw = pviews[qpar * (N_PHASE * r_v) + c * r_v + r]     # (U, PHASE_W)
+    qb = _var_shift(qw, res)[:, :W]
+    x = tb ^ qb
+    lo_eq = (x & jnp.uint8(0x0F)) == 0
+    hi_eq = (x & jnp.uint8(0xF0)) == 0
+    lane2 = 2 * jnp.arange(W, dtype=jnp.int32)[None, :]
+    a, bb = col_a[:, None], col_b[:, None]
+    mlo = lo_eq & (lane2 >= a) & (lane2 < bb)
+    mhi = hi_eq & (lane2 + 1 >= a) & (lane2 + 1 < bb)
+    m_chunk = jnp.sum(mlo.astype(jnp.int32) + mhi.astype(jnp.int32), axis=1)
+    v_chunk = jnp.maximum(col_b - col_a, 0)
+    zero = jnp.zeros(1, dtype=jnp.int32)
+    cm = jnp.concatenate([zero, jnp.cumsum(m_chunk)])
+    cv = jnp.concatenate([zero, jnp.cumsum(v_chunk)])
+    bounds = jnp.clip(rec_chunk_off, 0, m_chunk.shape[0])
+    m = cm[bounds[1:]] - cm[bounds[:-1]]
+    tot = cv[bounds[1:]] - cv[bounds[:-1]]
+    return m, tot - m
+
+
+def packed_match_counts(packed2d, pviews, b: MColumnBatch, n_records: int,
+                        pool_len: int):
+    """Per-record counts via the 4-bit packed kernel.
+
+    Caller must ensure the pool has no bytes outside _IUPAC15 (after case
+    folding) — use SequencePool.has_exotic / the unpacked kernel otherwise.
+    """
+    cb = build_packed_chunk_batch(b, n_records, pool_len)
+    m, x = _packed_match_counts(
+        packed2d, pviews, jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
+        jnp.asarray(cb.qpar), jnp.asarray(cb.col_a), jnp.asarray(cb.col_b),
+        jnp.asarray(cb.rec_chunk_off))
+    return np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
