@@ -110,12 +110,20 @@ def build_host_pool(b, pool_size, seed=7):
     return host_pool
 
 
-def bench_device(host_pool, b, t, iters=20):
-    """Upload the pool, run the tiled kernel; wall-clock via result fetches
-    (block_until_ready can return before remote execution completes), then
-    refine with ``iters`` executions inside one fori_loop dispatch."""
+def bench_device(host_pool, b, t, iters=40):
+    """Upload the pool, run the tiled kernel.
+
+    Correctness: one call with a full host readback, cross-checked against
+    the C loop bit-for-bit.  Timing: ``iters`` kernel executions inside ONE
+    fori_loop dispatch with per-iteration input variation (chunk arrays
+    rotated by the loop index, same total work, defeats CSE) and a final
+    scalar fetch — the only methodology that holds up on this runtime
+    (block_until_ready can return before remote execution completes, and a
+    per-call fetch pays a full tunnel roundtrip that dwarfs the kernel;
+    docs/PERF_NOTES.md)."""
     import jax
     import jax.numpy as jnp
+    from functools import partial
     from paffy_tpu.ops.tiled import (build_packed_chunk_batch,
                                      build_packed_pools,
                                      _packed_match_counts)
@@ -143,15 +151,33 @@ def bench_device(host_pool, b, t, iters=20):
     mv, xv = np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
     log(f"device: compile+first+fetch {time.time()-t0:.1f}s")
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.time()
         m, x = _packed_match_counts(packed2d, pviews, *cargs)
         np.asarray(m)
         times.append(time.time() - t0)
-    dt = min(times)
-    log(f"device: {dt*1e3:.1f} ms/call (fetch-timed, min of 5; includes the "
-        f"tunnel roundtrip, so throughput is understated) -> "
-        f"{b.n_cols/dt/1e9:.3f} Gcol/s")
+    log(f"device: {min(times)*1e3:.1f} ms/call single-call fetch-timed "
+        f"(includes a full tunnel roundtrip; diagnostic only)")
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def loop(p2d, pv, trow, qwin, qpar, col_a, col_b, rco, iters):
+        def body(i, acc):
+            m, _ = _packed_match_counts(
+                p2d, pv, jnp.roll(trow, i), jnp.roll(qwin, i),
+                jnp.roll(qpar, i), jnp.roll(col_a, i), jnp.roll(col_b, i),
+                rco)
+            return acc + jnp.sum(m.astype(jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(loop(packed2d, pviews, *cargs, iters=iters))   # compile
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        float(loop(packed2d, pviews, *cargs, iters=iters))
+        times.append(time.time() - t0)
+    dt = min(times) / iters
+    log(f"device: {dt*1e3:.2f} ms/iter ({iters} kernel executions in one "
+        f"dispatch, rotated inputs, min of 3) -> {b.n_cols/dt/1e9:.3f} Gcol/s")
     return b.n_cols / dt, mv, xv
 
 

@@ -221,7 +221,10 @@ def _tiled_match_counts(ext2d, views, trow, qwin_lo, lane_a, lane_b,
     """Per-record (match, mismatch) counts over the aligned chunk grid."""
     is_match = _chunk_is_match(ext2d, views, trow, qwin_lo)
     vmask = _lane_mask(lane_a, lane_b)
-    m_chunk = jnp.sum((is_match & vmask).astype(jnp.int32), axis=1)
+    # dtype pinned: under x64, jnp.sum(int32) promotes to int64, and an
+    # int64 (u32-pair) cumsum inside a loop body blows scoped VMEM
+    m_chunk = jnp.sum((is_match & vmask).astype(jnp.int32), axis=1,
+                      dtype=jnp.int32)
     v_chunk = (lane_b - lane_a).astype(jnp.int32)
     # int32 cumsums (int64 lowers to u32-pair emulation on TPU)
     zero = jnp.zeros(1, dtype=jnp.int32)
@@ -467,7 +470,8 @@ def _packed_match_counts(packed2d, pviews, trow, qwin, qpar, col_a, col_b,
     a, bb = col_a[:, None], col_b[:, None]
     mlo = lo_eq & (lane2 >= a) & (lane2 < bb)
     mhi = hi_eq & (lane2 + 1 >= a) & (lane2 + 1 < bb)
-    m_chunk = jnp.sum(mlo.astype(jnp.int32) + mhi.astype(jnp.int32), axis=1)
+    m_chunk = jnp.sum(mlo.astype(jnp.int32) + mhi.astype(jnp.int32), axis=1,
+                      dtype=jnp.int32)
     v_chunk = jnp.maximum(col_b - col_a, 0)
     zero = jnp.zeros(1, dtype=jnp.int32)
     cm = jnp.concatenate([zero, jnp.cumsum(m_chunk)])

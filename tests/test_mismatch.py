@@ -247,3 +247,49 @@ def test_pallas_piece_kernel_interpret():
                              pool.offsets_for(t.tname, "target"))
     m1, x1 = pallas_match_counts(pool.pool, b, len(t), interpret=True)
     assert np.array_equal(m0, m1) and np.array_equal(x0, x1)
+
+
+def test_hot_kernels_trace_no_int64():
+    # regression guard: under x64, an unpinned jnp.sum(int32) promotes to
+    # int64, and an int64 (u32-pair) cumsum inside a loop body blows scoped
+    # VMEM on TPU (docs/PERF_NOTES.md) — assert the hot kernels stay int32
+    import jax
+    import jax.numpy as jnp
+    from paffy_tpu.ops import mismatch as mm
+    from paffy_tpu.ops.segments import build_m_column_batch
+    from paffy_tpu.ops.tiled import (build_chunk_batch, build_packed_chunk_batch,
+                                     _tiled_match_counts, _packed_match_counts,
+                                     build_ext_phase_views, build_packed_pools,
+                                     _ext2d)
+    import synthdata
+    from paffy_tpu.core.pafio import parse_paf_text
+
+    seqs, lines = synthdata.make_workload(seed=11, length=9000, n_windows=12,
+                                          window=1500, step=700)
+    t = parse_paf_text("\n".join(lines) + "\n")
+    pool = mm.SequencePool(seqs)
+    b = build_m_column_batch(t, pool.offsets_for(t.qname, "query"),
+                             pool.offsets_for(t.tname, "target"))
+    ext = pool.ext
+    pool_len = int(pool.pool.shape[0])
+
+    import re
+
+    def assert_no_i64(jaxpr):
+        # scalar i64[] clip bounds are benign; flag int64 ARRAYS only
+        bad = re.findall(r"[su]64\[\d[^\]]*\]", str(jaxpr))
+        assert not bad, f"int64 arrays leaked into a hot kernel trace: {bad[:4]}"
+
+    cb = build_chunk_batch(b, len(t), pool_len=pool_len)
+    views = build_ext_phase_views(ext)
+    assert_no_i64(jax.make_jaxpr(_tiled_match_counts.__wrapped__)(
+        _ext2d(ext), views, jnp.asarray(cb.trow), jnp.asarray(cb.qwin_lo),
+        jnp.asarray(cb.lane_a), jnp.asarray(cb.lane_b),
+        jnp.asarray(cb.rec_chunk_off)))
+
+    pc = build_packed_chunk_batch(b, len(t), pool_len=pool_len)
+    packed2d, pviews = build_packed_pools(ext)
+    assert_no_i64(jax.make_jaxpr(_packed_match_counts.__wrapped__)(
+        packed2d, pviews, jnp.asarray(pc.trow), jnp.asarray(pc.qwin),
+        jnp.asarray(pc.qpar), jnp.asarray(pc.col_a), jnp.asarray(pc.col_b),
+        jnp.asarray(pc.rec_chunk_off)))
