@@ -124,9 +124,9 @@ def bench_device(host_pool, b, t, iters=40):
     import jax
     import jax.numpy as jnp
     from functools import partial
-    from paffy_tpu.ops.tiled import (build_packed_chunk_batch,
-                                     build_packed_pools,
-                                     _packed_match_counts)
+    from paffy_tpu.ops.tiled import (build_packed2_chunk_batch,
+                                     build_packed2_pools,
+                                     _packed2_match_counts)
     from paffy_tpu.ops.mismatch import build_ext_pool
 
     t0 = time.time()
@@ -136,24 +136,24 @@ def bench_device(host_pool, b, t, iters=40):
 
     t0 = time.time()
     ext = build_ext_pool(pool)
-    packed2d, pviews = build_packed_pools(ext)
+    packed2d, pviews = build_packed2_pools(ext)
     packed2d.block_until_ready()
-    log(f"ext + 4-bit packed pools built in {time.time()-t0:.2f}s")
+    log(f"ext + 2-bit packed pools built in {time.time()-t0:.2f}s")
 
-    cb = build_packed_chunk_batch(b, len(t), pool_len=pool.shape[0])
+    cb = build_packed2_chunk_batch(b, len(t), pool_len=pool.shape[0])
     log(f"packed tiled: {cb.n_chunks} aligned chunks (pad {cb.u_pad})")
     cargs = (jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
              jnp.asarray(cb.qpar), jnp.asarray(cb.col_a),
              jnp.asarray(cb.col_b), jnp.asarray(cb.rec_chunk_off))
 
     t0 = time.time()
-    m, x = _packed_match_counts(packed2d, pviews, *cargs)
+    m, x = _packed2_match_counts(packed2d, pviews, *cargs)
     mv, xv = np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
     log(f"device: compile+first+fetch {time.time()-t0:.1f}s")
     times = []
     for _ in range(3):
         t0 = time.time()
-        m, x = _packed_match_counts(packed2d, pviews, *cargs)
+        m, x = _packed2_match_counts(packed2d, pviews, *cargs)
         np.asarray(m)
         times.append(time.time() - t0)
     log(f"device: {min(times)*1e3:.1f} ms/call single-call fetch-timed "
@@ -162,7 +162,7 @@ def bench_device(host_pool, b, t, iters=40):
     @partial(jax.jit, static_argnames=("iters",))
     def loop(p2d, pv, trow, qwin, qpar, col_a, col_b, rco, iters):
         def body(i, acc):
-            m, _ = _packed_match_counts(
+            m, _ = _packed2_match_counts(
                 p2d, pv, jnp.roll(trow, i), jnp.roll(qwin, i),
                 jnp.roll(qpar, i), jnp.roll(col_a, i), jnp.roll(col_b, i),
                 rco)

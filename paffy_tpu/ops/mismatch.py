@@ -153,7 +153,9 @@ class SequencePool:
         self.pool = jnp.asarray(buf)
         self._ext = None
         self._packed = None
+        self._packed2 = None
         self._has_exotic = None
+        self._has_exotic2 = None
 
     @property
     def ext(self):
@@ -181,6 +183,27 @@ class SequencePool:
             self._packed = build_packed_pools(self.ext)
         return self._packed
 
+    @property
+    def has_exotic2(self) -> bool:
+        """True iff any sequence byte (case-folded) is outside ACGT — the
+        set the 2-bit packed kernel can represent exactly."""
+        if self._has_exotic2 is None:
+            data = jax.lax.dynamic_slice(self.ext, (self._guard,),
+                                         (max(self._data_len, 1),))
+            ok = jnp.zeros(data.shape, bool)
+            for ch in b"ACGT":
+                ok = ok | (data == ch)
+            self._has_exotic2 = bool(np.asarray(jnp.any(~ok)))
+        return self._has_exotic2
+
+    @property
+    def packed2(self):
+        """(packed2d, pviews) for the 2-bit kernel, built lazily and cached."""
+        if self._packed2 is None:
+            from paffy_tpu.ops.tiled import build_packed2_pools
+            self._packed2 = build_packed2_pools(self.ext)
+        return self._packed2
+
     def offsets_for(self, names: np.ndarray, role: str) -> np.ndarray:
         out = np.empty(len(names), dtype=np.int64)
         for i, n in enumerate(names):
@@ -204,7 +227,14 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
         z = np.zeros(len(t), dtype=np.int64)
         return z, z.copy()
     if b.n_cols >= TILED_THRESHOLD:
-        if not pool.has_exotic:
+        # fastest exact kernel for the pool's alphabet: 2-bit (pure ACGT)
+        # -> 4-bit (15-char IUPAC) -> unpacked ext (any byte)
+        if not pool.has_exotic2:
+            from paffy_tpu.ops.tiled import packed2_match_counts
+            packed2d, pviews = pool.packed2
+            m, x = packed2_match_counts(packed2d, pviews, b, len(t),
+                                        pool.pool.shape[0])
+        elif not pool.has_exotic:
             from paffy_tpu.ops.tiled import packed_match_counts
             packed2d, pviews = pool.packed
             m, x = packed_match_counts(packed2d, pviews, b, len(t),

@@ -495,3 +495,167 @@ def packed_match_counts(packed2d, pviews, b: MColumnBatch, n_records: int,
         jnp.asarray(cb.qpar), jnp.asarray(cb.col_a), jnp.asarray(cb.col_b),
         jnp.asarray(cb.rec_chunk_off))
     return np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
+
+
+# ---------------------------------------------------------------- 2-bit path
+#
+# Counts-only fastest path for pure-ACGT pools (after case folding; gate on
+# SequencePool.has_exotic2): 4 bases/byte, 4 parity pools (one per start
+# offset mod 4), narrower W2=256 rows.  vs the 4-bit kernel this halves the
+# gathered bytes per column AND the roll-chain traffic per column at the
+# same chunk count (measured 22.2 -> 16.4 ms on the golden grid; the
+# W2=512 / 2048-col variant measured 17.9 ms — fewer chunks but full-width
+# rows lose to half-width rows at equal chunk count).
+#
+# Layout: parity pool p packs ext positions p, p+1, ... as consecutive
+# 2-bit crumbs, little-endian within the byte: byte i = code(ext[4i+p]) |
+# code(ext[4i+p+1])<<2 | ... | code(ext[4i+p+3])<<6.  A run starting at ext
+# position t has parity t&3 and its column k lives at byte base_t + (k>>2),
+# crumb k&3, so chunks stay row-aligned on the target side and the query
+# window picks ITS OWN parity to absorb the crumb misalignment (the byte
+# residual uses 4 phase views + a 6-step roll chain over [U, 320]).
+
+W2 = 256                    # 2-bit row width (bytes) = 1024 columns
+LOGW2 = W2.bit_length() - 1
+N_PHASE2 = 4
+STEP2 = W2 // N_PHASE2      # 64
+PW2 = W2 + STEP2            # 320
+LOG_STEP2 = STEP2.bit_length() - 1
+PACK2_COLS = 4 * W2
+
+
+@jax.jit
+def _code2(x):
+    c = jnp.zeros(x.shape, jnp.uint8)
+    for i, ch in enumerate(b"ACGT"):
+        c = jnp.where(x == ch, jnp.uint8(i), c)
+    return c
+
+
+@jax.jit
+def build_packed2_pools(ext):
+    """ext [2L] -> (packed2d [4*Rp, W2], pviews [4*N_PHASE2*Rv, PW2]).
+
+    packed2d stacks the 4 parity pools' row grids (target gather: row =
+    parity*Rp + packed_row); pviews stacks each parity's phase views (query
+    gather: row = (parity*N_PHASE2 + c)*Rv + r).
+    """
+    n = ext.shape[0]
+    codes = jnp.concatenate([_code2(ext), jnp.zeros(4, jnp.uint8)])
+    n_p = n // 4
+    r_v = (n_p - PW2) // W2
+    pools, views = [], []
+    for p in range(4):
+        acc = jnp.zeros(n_p, jnp.uint8)
+        for k in range(4):
+            sl = jax.lax.dynamic_slice(codes, (p + k,), (4 * n_p - 3,))[::4]
+            acc = acc | (sl << jnp.uint8(2 * k))
+        pools.append(acc)
+        for c in range(N_PHASE2):
+            base = STEP2 * c
+            a = jax.lax.dynamic_slice(acc, (base,), (r_v * W2,)).reshape(-1, W2)
+            bb = jax.lax.dynamic_slice(acc, (base + W2,),
+                                       (r_v * W2,)).reshape(-1, W2)[:, :STEP2]
+            views.append(jnp.concatenate([a, bb], axis=1))
+    packed2d = jnp.concatenate([p.reshape(-1, W2) for p in pools])
+    pviews = jnp.concatenate(views, axis=0)
+    return packed2d, pviews
+
+
+def build_packed2_chunk_batch(b: MColumnBatch, n_records: int,
+                              pool_len: int) -> PackedChunkBatch:
+    """Chunk decomposition over the 2-bit pools (4*W2 columns per row)."""
+    lens = b.lens[: b.n_mops].astype(np.int64)
+    tpos0 = b.tpos0[: b.n_mops].astype(np.int64)
+    qpos0 = b.qpos0[: b.n_mops].astype(np.int64)
+    rev_op = b.rev[: b.n_mops]
+    qpos0e = np.where(rev_op, 2 * pool_len - 1 - qpos0, qpos0)
+
+    tpar = (tpos0 & 3).astype(np.int64)
+    base_t = (tpos0 - tpar) >> 2            # packed byte of column 0
+    last_b = base_t + ((lens - 1) >> 2)     # packed byte of the last column
+    row_lo = base_t >> LOGW2
+    row_hi = last_b >> LOGW2
+    n_chunks_per_op = row_hi - row_lo + 1
+    u = int(n_chunks_per_op.sum())
+    u_pad = grid_pad(u)
+
+    chunk_off = np.zeros(b.n_mops + 1, dtype=np.int64)
+    np.cumsum(n_chunks_per_op, out=chunk_off[1:])
+    mop = np.searchsorted(chunk_off[1:], np.arange(u), side="right")
+    c_in_op = np.arange(u) - chunk_off[mop]
+    prow = row_lo[mop] + c_in_op            # packed row within parity pool
+
+    c_base = 4 * (prow * W2 - base_t[mop])  # local column of byte-lane 0
+    col_a = np.maximum(-c_base, 0).astype(np.int32)
+    col_b = np.clip(lens[mop] - c_base, 0, PACK2_COLS).astype(np.int32)
+
+    rp = (2 * pool_len) // 4 // W2          # rows per parity pool
+    trow = tpar[mop] * rp + prow
+
+    qj = qpos0e[mop] + c_base               # unpacked pos of local column 0
+    qpar = (qj & 3).astype(np.int32)
+    qwin = (qj - qpar) >> 2                 # packed byte offset, own parity
+
+    rec_of_mop = b.rec[: b.n_mops]
+    first_mop = np.searchsorted(rec_of_mop, np.arange(n_records + 1),
+                                side="left")
+    rec_chunk_off = chunk_off[np.minimum(first_mop, b.n_mops)]
+    rec_chunk_off[-1] = u
+
+    assert pool_len // 2 + 2 * W2 < 2**31
+    return PackedChunkBatch(
+        trow=pad_to(trow.astype(np.int32), u_pad),
+        qwin=pad_to(np.maximum(qwin, 0).astype(np.int32), u_pad),
+        qpar=pad_to(qpar, u_pad),
+        col_a=pad_to(col_a, u_pad),
+        col_b=pad_to(col_b, u_pad),
+        rec_chunk_off=rec_chunk_off.astype(np.int32),
+        n_chunks=u, n_cols=int(lens.sum()), u_pad=u_pad)
+
+
+@jax.jit
+def _packed2_match_counts(packed2d, pviews, trow, qwin, qpar, col_a, col_b,
+                          rec_chunk_off):
+    """Per-record (match, mismatch) counts over the 2-bit chunk grid."""
+    tb = packed2d[trow]                                   # (U, W2) u8
+    r_v = pviews.shape[0] // (4 * N_PHASE2)
+    c = (qwin & (W2 - 1)) >> LOG_STEP2
+    res = qwin & (STEP2 - 1)
+    r = jnp.clip(qwin >> LOGW2, 0, r_v - 1)
+    win = pviews[(qpar * N_PHASE2 + c) * r_v + r]         # (U, PW2)
+    for bpow in range(LOG_STEP2):
+        s = 1 << bpow
+        win = jnp.where((res & s).astype(bool)[:, None],
+                        jnp.roll(win, -s, axis=1), win)
+    x = tb ^ win[:, :W2]
+    lane4 = 4 * jnp.arange(W2, dtype=jnp.int32)[None, :]
+    a, bb = col_a[:, None], col_b[:, None]
+    m_ = jnp.zeros(x.shape, jnp.int32)
+    for j in range(4):
+        eq = (x & jnp.uint8(0x03 << (2 * j))) == 0
+        m_ = m_ + (eq & (lane4 + j >= a) & (lane4 + j < bb)).astype(jnp.int32)
+    m_chunk = jnp.sum(m_, axis=1, dtype=jnp.int32)
+    v_chunk = jnp.maximum(col_b - col_a, 0)
+    zero = jnp.zeros(1, dtype=jnp.int32)
+    cm = jnp.concatenate([zero, jnp.cumsum(m_chunk)])
+    cv = jnp.concatenate([zero, jnp.cumsum(v_chunk)])
+    bounds = jnp.clip(rec_chunk_off, 0, m_chunk.shape[0])
+    m = cm[bounds[1:]] - cm[bounds[:-1]]
+    tot = cv[bounds[1:]] - cv[bounds[:-1]]
+    return m, tot - m
+
+
+def packed2_match_counts(packed2d, pviews, b: MColumnBatch, n_records: int,
+                         pool_len: int):
+    """Per-record counts via the 2-bit packed kernel.
+
+    Caller must ensure the pool is pure ACGT after case folding — use
+    SequencePool.has_exotic2 / the 4-bit or unpacked kernels otherwise.
+    """
+    cb = build_packed2_chunk_batch(b, n_records, pool_len)
+    m, x = _packed2_match_counts(
+        packed2d, pviews, jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
+        jnp.asarray(cb.qpar), jnp.asarray(cb.col_a), jnp.asarray(cb.col_b),
+        jnp.asarray(cb.rec_chunk_off))
+    return np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)

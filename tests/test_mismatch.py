@@ -293,3 +293,54 @@ def test_hot_kernels_trace_no_int64():
         packed2d, pviews, jnp.asarray(pc.trow), jnp.asarray(pc.qwin),
         jnp.asarray(pc.qpar), jnp.asarray(pc.col_a), jnp.asarray(pc.col_b),
         jnp.asarray(pc.rec_chunk_off)))
+
+
+def test_packed2_parity_and_boundary_edges(monkeypatch):
+    # 2-bit kernel: all 4 target/query start parities, both strands, run
+    # lengths straddling the 1024-column row size
+    from paffy_tpu.ops import mismatch as mm
+    monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
+    rng = np.random.default_rng(17)
+    for ln in (1023, 1024, 1025, 7):
+        for tshift in range(4):
+            for qshift in range(4):
+                for strand in "+-":
+                    q = "".join(rng.choice(list("ACGT"), ln + 20))
+                    t_ = "".join(rng.choice(list("ACGT"), ln + 20))
+                    qs, ts = 3 + qshift, 5 + tshift
+                    line = (f"q\t{ln+20}\t{qs}\t{qs+ln}\t{strand}\tt\t{ln+20}"
+                            f"\t{ts}\t{ts+ln}\t{ln}\t{ln}\t60\tcg:Z:{ln}M")
+                    t = parse_one(line)
+                    pool = mm.SequencePool({"q": q, "t": t_})
+                    assert not pool.has_exotic2
+                    m1, x1 = mm.column_match_counts(t, pool)
+                    monkeypatch.setattr(mm, "TILED_THRESHOLD", 1 << 60)
+                    m0, x0 = mm.column_match_counts(t, pool)
+                    monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
+                    assert m0[0] == m1[0] and x0[0] == x1[0], \
+                        f"len {ln} t%4={tshift} q%4={qshift} {strand}"
+
+
+def test_alphabet_kernel_routing(monkeypatch):
+    # N -> 2-bit inexact, 4-bit exact; '-' -> only the unpacked kernel
+    from paffy_tpu.ops import mismatch as mm
+    import synthdata
+    from paffy_tpu.core.pafio import parse_paf_text
+    seqs, lines = synthdata.make_workload(seed=23, length=8000, n_windows=10,
+                                          window=1400, step=700)
+    t = parse_paf_text("\n".join(lines) + "\n")
+    for ch, exotic2, exotic in (("N", True, False), ("-", True, True)):
+        mutated = dict(seqs)
+        k = next(iter(mutated))
+        s = list(mutated[k])
+        for i in range(50, len(s), 97):
+            s[i] = ch
+        mutated[k] = "".join(s)
+        pool = mm.SequencePool(mutated)
+        assert pool.has_exotic2 == exotic2
+        assert pool.has_exotic == exotic
+        m0, x0 = mm.column_match_counts(t, pool)       # naive (small batch)
+        monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)  # tiled dispatch
+        m1, x1 = mm.column_match_counts(t, pool)
+        monkeypatch.undo()
+        assert np.array_equal(m0, m1) and np.array_equal(x0, x1), ch
