@@ -74,6 +74,10 @@ def get_lib():
         lib.column_compare_counts.argtypes = [_U8P, ctypes.c_longlong,
                                               _I64P, _I64P, _I64P, _U8P,
                                               _I64P, _I64P, _I64P]
+        lib.column_encode_runs.restype = ctypes.c_longlong
+        lib.column_encode_runs.argtypes = [_U8P, ctypes.c_longlong,
+                                           _I64P, _I64P, _I64P, _U8P,
+                                           _I64P, _U8P]
         _lib = lib
         return _lib
 
@@ -185,6 +189,33 @@ def column_compare_counts(pool: np.ndarray, lens, qpos0, tpos0, rev, rec,
         _p_i64(np.ascontiguousarray(rec, dtype=np.int64)),
         _p_i64(m), _p_i64(x))
     return m, x
+
+
+def column_encode_runs(pool: np.ndarray, lens, qpos0, tpos0, rev):
+    """Native =/X run extraction (two-pass: count, then fill).
+
+    Returns (starts int64 [n_runs], match bool [n_runs]) in the compact
+    tiled_runs format, or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    pool = np.ascontiguousarray(pool)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    qpos0 = np.ascontiguousarray(qpos0, dtype=np.int64)
+    tpos0 = np.ascontiguousarray(tpos0, dtype=np.int64)
+    rev = np.ascontiguousarray(rev, dtype=np.uint8)
+    n_mops = len(lens)
+    n = int(lib.column_encode_runs(_p_u8(pool), n_mops, _p_i64(lens),
+                                   _p_i64(qpos0), _p_i64(tpos0), _p_u8(rev),
+                                   None, None))
+    starts = np.empty(n, dtype=np.int64)
+    vals = np.empty(n, dtype=np.uint8)
+    n2 = int(lib.column_encode_runs(_p_u8(pool), n_mops, _p_i64(lens),
+                                    _p_i64(qpos0), _p_i64(tpos0), _p_u8(rev),
+                                    _p_i64(starts), _p_u8(vals)))
+    assert n2 == n
+    return starts, vals.astype(bool)
 
 
 def synth_query_pool(pool: np.ndarray, lens, qpos0, tpos0, rev,

@@ -386,4 +386,46 @@ void column_compare_counts(const unsigned char* pool,
     }
 }
 
+// Emit the =/X run decomposition over the flat M-run arrays in the compact
+// (run-start global column index, match state) format of ops/tiled.tiled_runs
+// (reference walk: paf_encode_mismatches, impl/paf.c:748-777).  Pass
+// starts=NULL to count only; returns the number of runs.  This is the
+// production extraction path for large batches: the run list must land on
+// the host for the CSR rebuild anyway, and a host pass over the pool beats
+// device extraction + an O(runs) device->host transfer.
+long long column_encode_runs(const unsigned char* pool,
+                             long long n_mops,
+                             const long long* lens,
+                             const long long* qpos0,
+                             const long long* tpos0,
+                             const unsigned char* rev,
+                             long long* starts,
+                             unsigned char* vals) {
+    init_tables();
+    long long nruns = 0, col = 0;
+    for (long long j = 0; j < n_mops; ++j) {
+        const long long L = lens[j];
+        const unsigned char* tp = pool + tpos0[j];
+        const unsigned char* qp = pool + qpos0[j];
+        const long long step = rev[j] ? -1 : 1;
+        const bool rc = rev[j] != 0;
+        int prev = -1;
+        for (long long i = 0; i < L; ++i) {
+            unsigned char qb = qp[i * step];
+            if (rc) qb = COMP_TBL[qb];
+            const int m = UPPER_TBL[tp[i]] == UPPER_TBL[qb];
+            if (m != prev) {
+                if (starts) {
+                    starts[nruns] = col + i;
+                    vals[nruns] = (unsigned char)m;
+                }
+                ++nruns;
+                prev = m;
+            }
+        }
+        col += L;
+    }
+    return nruns;
+}
+
 }  // extern "C"

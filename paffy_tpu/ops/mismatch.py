@@ -165,6 +165,11 @@ class SequencePool:
         return self._ext
 
     @property
+    def host_pool(self) -> np.ndarray:
+        """The host copy of the guarded pool (for native C passes)."""
+        return self._pool_np
+
+    @property
     def has_exotic(self) -> bool:
         """True iff any sequence byte (case-folded) is outside the 15-char
         IUPAC set the 4-bit packed kernel can represent exactly."""
@@ -251,6 +256,7 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
 
 
 TILED_THRESHOLD = 1 << 20  # columns; above this, use the tiled kernel
+FORCE_DEVICE_RUNS = False  # test hook: skip the native run-extraction path
 
 
 def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
@@ -260,10 +266,23 @@ def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
     if b.n_cols == 0:
         return t
     if b.n_cols >= TILED_THRESHOLD:
-        # tiled kernel + on-device run compaction: host transfer stays
-        # O(runs), not O(columns)
-        from paffy_tpu.ops.tiled import tiled_runs
-        starts, match_at_start = tiled_runs(pool.ext, b, len(t))
+        # Run extraction lands on the host for the CSR rebuild regardless,
+        # so the native C pass over the host pool wins end-to-end: the
+        # device path's run compaction (searchsorted over the flat chunk
+        # grid) measured 4.8 s on the 125M-column golden workload vs ~0.3 s
+        # for the C pass (docs/PERF_NOTES.md).  Device tiled_runs remains
+        # the fallback without a native toolchain.
+        res = None
+        if not FORCE_DEVICE_RUNS:
+            from paffy_tpu import native
+            res = native.column_encode_runs(
+                pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+                b.tpos0[: b.n_mops], b.rev[: b.n_mops])
+        if res is not None:
+            starts, match_at_start = res
+        else:
+            from paffy_tpu.ops.tiled import tiled_runs
+            starts, match_at_start = tiled_runs(pool.ext, b, len(t))
     else:
         boundary, is_match, valid = _column_runs(
             pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0),

@@ -344,3 +344,24 @@ def test_alphabet_kernel_routing(monkeypatch):
         m1, x1 = mm.column_match_counts(t, pool)
         monkeypatch.undo()
         assert np.array_equal(m0, m1) and np.array_equal(x0, x1), ch
+
+
+def test_native_and_device_run_extraction_agree(monkeypatch):
+    # threshold=1 routes large-path extraction to native C; FORCE_DEVICE_RUNS
+    # exercises the device tiled_runs fallback — all three must serialize
+    # byte-identically
+    from paffy_tpu.ops import mismatch as mm
+    from paffy_tpu import native
+    import synthdata
+    from paffy_tpu.core.pafio import parse_paf_text, serialize_paf
+    seqs, lines = synthdata.make_workload(seed=29, length=7000, n_windows=12,
+                                          window=1000, step=560)
+    t = parse_paf_text("\n".join(lines) + "\n")
+    pool = mm.SequencePool(seqs)
+    full = serialize_paf(mm.encode_mismatches(t.copy(), pool))
+    monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
+    assert native.get_lib() is not None
+    nat = serialize_paf(mm.encode_mismatches(t.copy(), pool))
+    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
+    dev = serialize_paf(mm.encode_mismatches(t.copy(), pool))
+    assert nat == full and dev == full
