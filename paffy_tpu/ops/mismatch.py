@@ -265,24 +265,24 @@ def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
     b = _prepare(t, pool)
     if b.n_cols == 0:
         return t
-    if b.n_cols >= TILED_THRESHOLD:
-        # Run extraction lands on the host for the CSR rebuild regardless,
-        # so the native C pass over the host pool wins end-to-end: the
-        # device path's run compaction (searchsorted over the flat chunk
-        # grid) measured 4.8 s on the 125M-column golden workload vs ~0.3 s
-        # for the C pass (docs/PERF_NOTES.md).  Device tiled_runs remains
-        # the fallback without a native toolchain.
-        res = None
-        if not FORCE_DEVICE_RUNS:
-            from paffy_tpu import native
-            res = native.column_encode_runs(
-                pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
-                b.tpos0[: b.n_mops], b.rev[: b.n_mops])
-        if res is not None:
-            starts, match_at_start = res
-        else:
-            from paffy_tpu.ops.tiled import tiled_runs
-            starts, match_at_start = tiled_runs(pool.ext, b, len(t))
+    # Run extraction lands on the host for the CSR rebuild regardless, so
+    # the native C pass over the host pool wins end-to-end AT EVERY SIZE:
+    # the device path's run compaction (searchsorted over the flat chunk
+    # grid) measured 4.8 s on the 125M-column golden workload vs 0.64 s for
+    # the C pass, and small batches skip device dispatch entirely
+    # (docs/PERF_NOTES.md).  The device kernels remain the fallback without
+    # a native toolchain: tiled above TILED_THRESHOLD, naive below.
+    res = None
+    if not FORCE_DEVICE_RUNS:
+        from paffy_tpu import native
+        res = native.column_encode_runs(
+            pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+            b.tpos0[: b.n_mops], b.rev[: b.n_mops])
+    if res is not None:
+        starts, match_at_start = res
+    elif b.n_cols >= TILED_THRESHOLD:
+        from paffy_tpu.ops.tiled import tiled_runs
+        starts, match_at_start = tiled_runs(pool.ext, b, len(t))
     else:
         boundary, is_match, valid = _column_runs(
             pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0),

@@ -178,6 +178,7 @@ def test_missing_sequence_raises():
 
 def test_compact_device_extraction_matches_full_path(monkeypatch):
     from paffy_tpu.ops import mismatch as mm
+    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
     seqs, lines = None, None
     import synthdata
     seqs, lines = synthdata.make_workload(seed=13, length=6000, n_windows=10,
@@ -208,6 +209,7 @@ def test_tiled_counts_match_naive(monkeypatch):
 def test_tiled_random_against_oracle(monkeypatch):
     from paffy_tpu.ops import mismatch as mm
     monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
+    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
     test_random_against_oracle()
 
 
@@ -215,6 +217,7 @@ def test_tiled_exact_chunk_boundaries(monkeypatch):
     # runs of exactly W and W+1 columns; both strands
     from paffy_tpu.ops import mismatch as mm
     monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
+    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
     rng = np.random.default_rng(5)
     for ln in (127, 128, 129, 256, 257):
         for strand in "+-":
