@@ -248,6 +248,15 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
             from paffy_tpu.ops.tiled import tiled_match_counts
             m, x = tiled_match_counts(pool.ext, b, len(t))
         return m.astype(np.int64), x.astype(np.int64)
+    # small batches: the native C loop beats a device dispatch outright
+    if not FORCE_DEVICE_RUNS:
+        from paffy_tpu import native
+        res = native.column_compare_counts(
+            pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+            b.tpos0[: b.n_mops], b.rev[: b.n_mops], b.rec[: b.n_mops],
+            len(t))
+        if res is not None:
+            return res
     m, x = _column_match_counts(
         pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0), jnp.asarray(b.tpos0),
         jnp.asarray(b.rev), jnp.asarray(b.col_off), jnp.asarray(b.rec_col_off),

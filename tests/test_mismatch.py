@@ -368,3 +368,19 @@ def test_native_and_device_run_extraction_agree(monkeypatch):
     monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
     dev = serialize_paf(mm.encode_mismatches(t.copy(), pool))
     assert nat == full and dev == full
+
+
+def test_naive_device_counts_still_exact(monkeypatch):
+    # keep the no-toolchain device fallback covered now that small batches
+    # default to the native C loop
+    from paffy_tpu.ops import mismatch as mm
+    import synthdata
+    from paffy_tpu.core.pafio import parse_paf_text
+    seqs, lines = synthdata.make_workload(seed=37, length=6000, n_windows=8,
+                                          window=900, step=620)
+    t = parse_paf_text("\n".join(lines) + "\n")
+    pool = mm.SequencePool(seqs)
+    m0, x0 = mm.column_match_counts(t, pool)           # native C loop
+    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
+    m1, x1 = mm.column_match_counts(t, pool)           # naive device kernel
+    assert np.array_equal(m0, m1) and np.array_equal(x0, x1)
