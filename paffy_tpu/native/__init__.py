@@ -30,8 +30,8 @@ def _build() -> bool:
         return True
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o",
-             _LIB + ".tmp"],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+             _SRC, "-o", _LIB + ".tmp"],
             check=True, capture_output=True, timeout=120)
         os.replace(_LIB + ".tmp", _LIB)
         return True
@@ -77,7 +77,8 @@ def get_lib():
         lib.column_encode_runs.restype = ctypes.c_longlong
         lib.column_encode_runs.argtypes = [_U8P, ctypes.c_longlong,
                                            _I64P, _I64P, _I64P, _U8P,
-                                           _I64P, _U8P]
+                                           _I64P, _U8P, ctypes.c_longlong,
+                                           _I64P]
         _lib = lib
         return _lib
 
@@ -191,8 +192,9 @@ def column_compare_counts(pool: np.ndarray, lens, qpos0, tpos0, rev, rec,
     return m, x
 
 
-def column_encode_runs(pool: np.ndarray, lens, qpos0, tpos0, rev):
-    """Native =/X run extraction (two-pass: count, then fill).
+def column_encode_runs(pool: np.ndarray, lens, qpos0, tpos0, rev,
+                       n_threads: int | None = None):
+    """Native =/X run extraction (two calls: threaded count, threaded fill).
 
     Returns (starts int64 [n_runs], match bool [n_runs]) in the compact
     tiled_runs format, or None when the native library is unavailable.
@@ -200,20 +202,25 @@ def column_encode_runs(pool: np.ndarray, lens, qpos0, tpos0, rev):
     lib = get_lib()
     if lib is None:
         return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 8)
     pool = np.ascontiguousarray(pool)
     lens = np.ascontiguousarray(lens, dtype=np.int64)
     qpos0 = np.ascontiguousarray(qpos0, dtype=np.int64)
     tpos0 = np.ascontiguousarray(tpos0, dtype=np.int64)
     rev = np.ascontiguousarray(rev, dtype=np.uint8)
     n_mops = len(lens)
+    shard_counts = np.zeros(max(n_threads, 1), dtype=np.int64)
     n = int(lib.column_encode_runs(_p_u8(pool), n_mops, _p_i64(lens),
                                    _p_i64(qpos0), _p_i64(tpos0), _p_u8(rev),
-                                   None, None))
+                                   None, None, n_threads,
+                                   _p_i64(shard_counts)))
     starts = np.empty(n, dtype=np.int64)
     vals = np.empty(n, dtype=np.uint8)
     n2 = int(lib.column_encode_runs(_p_u8(pool), n_mops, _p_i64(lens),
                                     _p_i64(qpos0), _p_i64(tpos0), _p_u8(rev),
-                                    _p_i64(starts), _p_u8(vals)))
+                                    _p_i64(starts), _p_u8(vals), n_threads,
+                                    _p_i64(shard_counts)))
     assert n2 == n
     return starts, vals.astype(bool)
 

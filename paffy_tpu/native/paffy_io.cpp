@@ -15,6 +15,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -386,24 +388,19 @@ void column_compare_counts(const unsigned char* pool,
     }
 }
 
-// Emit the =/X run decomposition over the flat M-run arrays in the compact
-// (run-start global column index, match state) format of ops/tiled.tiled_runs
-// (reference walk: paf_encode_mismatches, impl/paf.c:748-777).  Pass
-// starts=NULL to count only; returns the number of runs.  This is the
-// production extraction path for large batches: the run list must land on
-// the host for the CSR rebuild anyway, and a host pass over the pool beats
-// device extraction + an O(runs) device->host transfer.
-long long column_encode_runs(const unsigned char* pool,
-                             long long n_mops,
-                             const long long* lens,
-                             const long long* qpos0,
-                             const long long* tpos0,
-                             const unsigned char* rev,
-                             long long* starts,
-                             unsigned char* vals) {
-    init_tables();
-    long long nruns = 0, col = 0;
-    for (long long j = 0; j < n_mops; ++j) {
+// One shard of the =/X run decomposition: ops [j0, j1), with col0 the
+// global column index of op j0's first column and (when filling) the runs
+// written from out index run0.  Returns the shard's run count.
+static long long encode_runs_shard(const unsigned char* pool,
+                                   long long j0, long long j1,
+                                   const long long* lens,
+                                   const long long* qpos0,
+                                   const long long* tpos0,
+                                   const unsigned char* rev,
+                                   long long col0, long long run0,
+                                   long long* starts, unsigned char* vals) {
+    long long nruns = run0, col = col0;
+    for (long long j = j0; j < j1; ++j) {
         const long long L = lens[j];
         const unsigned char* tp = pool + tpos0[j];
         const unsigned char* qp = pool + qpos0[j];
@@ -425,7 +422,83 @@ long long column_encode_runs(const unsigned char* pool,
         }
         col += L;
     }
-    return nruns;
+    return nruns - run0;
+}
+
+// Emit the =/X run decomposition over the flat M-run arrays in the compact
+// (run-start global column index, match state) format of ops/tiled.tiled_runs
+// (reference walk: paf_encode_mismatches, impl/paf.c:748-777).  Pass
+// starts=NULL to count only; returns the number of runs.  This is the
+// production extraction path: the run list must land on the host for the
+// CSR rebuild anyway, and a host pass over the pool beats device extraction
+// + an O(runs) device->host transfer.  Parallelized over column-balanced op
+// shards (run boundaries never cross ops, so shards are independent and the
+// output is byte-identical to the sequential pass).  Two-call protocol:
+// call 1 with starts=NULL counts and fills shard_counts[n_threads]; call 2
+// with starts/vals and the SAME n_threads + shard_counts fills in one pass
+// (shard bounds are recomputed deterministically).  n_threads <= 1 runs
+// inline and ignores shard_counts.  NB: column_compare_counts stays
+// single-threaded by design — it is the benchmark's reference C loop.
+long long column_encode_runs(const unsigned char* pool,
+                             long long n_mops,
+                             const long long* lens,
+                             const long long* qpos0,
+                             const long long* tpos0,
+                             const unsigned char* rev,
+                             long long* starts,
+                             unsigned char* vals,
+                             long long n_threads,
+                             long long* shard_counts) {
+    init_tables();
+    if (n_threads <= 1 || n_mops < 1024) {
+        return encode_runs_shard(pool, 0, n_mops, lens, qpos0, tpos0, rev,
+                                 0, 0, starts, vals);
+    }
+    // column-balanced shard bounds (deterministic across both calls)
+    long long total = 0;
+    for (long long j = 0; j < n_mops; ++j) total += lens[j];
+    std::vector<long long> jb(n_threads + 1, n_mops), cb(n_threads + 1, 0);
+    jb[0] = 0;
+    {
+        long long j = 0, col = 0;
+        for (long long s = 1; s < n_threads; ++s) {
+            const long long target = total * s / n_threads;
+            while (j < n_mops && col < target) col += lens[j++];
+            jb[s] = j;
+            cb[s] = col;
+        }
+        cb[n_threads] = total;
+    }
+    std::vector<std::thread> th;
+    if (!starts) {                       // count pass
+        std::vector<long long> counts(n_threads, 0);
+        for (long long s = 0; s < n_threads; ++s) {
+            th.emplace_back([&, s] {
+                counts[s] = encode_runs_shard(pool, jb[s], jb[s + 1], lens,
+                                              qpos0, tpos0, rev, cb[s], 0,
+                                              nullptr, nullptr);
+            });
+        }
+        for (auto& t : th) t.join();
+        long long tot_runs = 0;
+        for (long long s = 0; s < n_threads; ++s) {
+            if (shard_counts) shard_counts[s] = counts[s];
+            tot_runs += counts[s];
+        }
+        return tot_runs;
+    }
+    // fill pass: offsets from the caller-provided shard counts
+    std::vector<long long> off(n_threads + 1, 0);
+    for (long long s = 0; s < n_threads; ++s)
+        off[s + 1] = off[s] + shard_counts[s];
+    for (long long s = 0; s < n_threads; ++s) {
+        th.emplace_back([&, s] {
+            encode_runs_shard(pool, jb[s], jb[s + 1], lens, qpos0, tpos0,
+                              rev, cb[s], off[s], starts, vals);
+        });
+    }
+    for (auto& t : th) t.join();
+    return off[n_threads];
 }
 
 }  // extern "C"
