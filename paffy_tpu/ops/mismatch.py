@@ -138,6 +138,14 @@ class SequencePool:
     rounding at the back so neither the tiled kernel's chunk windows nor the
     Pallas kernel's full-piece DMAs can index out of bounds; all offsets
     include the guard.
+
+    HBM footprint: the derived arrays are cached after first use — ``ext``
+    (2L), ``packed`` (2L: packed2d L + 4 phase views L), ``packed2``
+    (L: packed2d L/2 + views L/2) — so a caller that touches every route
+    holds up to ~6x the pool bytes on device.  ``ext`` is an intermediate
+    for the packed builders and the input of the unpacked fallback; once a
+    packed route is chosen for a large pool, call :meth:`drop_device_caches`
+    to release the routes not taken.
     """
 
     def __init__(self, seqs: dict[str, str]):
@@ -209,6 +217,18 @@ class SequencePool:
             self._packed2 = build_packed2_pools(self.ext)
         return self._packed2
 
+    def drop_device_caches(self, keep: str = "packed2") -> None:
+        """Release cached derived device arrays except ``keep`` (one of
+        "ext", "packed", "packed2", or "" for none).  The alphabet flags
+        stay cached, so kernel routing is unaffected; a dropped route is
+        simply rebuilt (one dense device pass) if used again."""
+        if keep != "ext":
+            self._ext = None
+        if keep != "packed":
+            self._packed = None
+        if keep != "packed2":
+            self._packed2 = None
+
     def offsets_for(self, names: np.ndarray, role: str) -> np.ndarray:
         out = np.empty(len(names), dtype=np.int64)
         for i, n in enumerate(names):
@@ -231,25 +251,39 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
     if b.n_cols == 0:
         z = np.zeros(len(t), dtype=np.int64)
         return z, z.copy()
+    plen = pool.pool.shape[0]
     if b.n_cols >= TILED_THRESHOLD:
         # fastest exact kernel for the pool's alphabet: 2-bit (pure ACGT)
-        # -> 4-bit (15-char IUPAC) -> unpacked ext (any byte)
-        if not pool.has_exotic2:
-            from paffy_tpu.ops.tiled import packed2_match_counts
+        # -> 4-bit (15-char IUPAC) -> unpacked ext (any byte); each kernel
+        # requires int32-addressable positions (tiled.*_addressable) —
+        # pools past the limit fall through to the native 64-bit host path
+        from paffy_tpu.ops import tiled
+        if not pool.has_exotic2 and tiled.packed2_addressable(plen):
             packed2d, pviews = pool.packed2
-            m, x = packed2_match_counts(packed2d, pviews, b, len(t),
-                                        pool.pool.shape[0])
-        elif not pool.has_exotic:
-            from paffy_tpu.ops.tiled import packed_match_counts
+            m, x = tiled.packed2_match_counts(packed2d, pviews, b, len(t),
+                                              plen)
+            return m.astype(np.int64), x.astype(np.int64)
+        if not pool.has_exotic and tiled.packed4_addressable(plen):
             packed2d, pviews = pool.packed
-            m, x = packed_match_counts(packed2d, pviews, b, len(t),
-                                       pool.pool.shape[0])
-        else:
-            from paffy_tpu.ops.tiled import tiled_match_counts
-            m, x = tiled_match_counts(pool.ext, b, len(t))
-        return m.astype(np.int64), x.astype(np.int64)
+            m, x = tiled.packed_match_counts(packed2d, pviews, b, len(t),
+                                             plen)
+            return m.astype(np.int64), x.astype(np.int64)
+        if tiled.ext_addressable(plen):
+            m, x = tiled.tiled_match_counts(pool.ext, b, len(t))
+            return m.astype(np.int64), x.astype(np.int64)
+        # pool too large for any int32 device kernel: native only
+        from paffy_tpu import native
+        res = native.column_compare_counts(
+            pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+            b.tpos0[: b.n_mops], b.rev[: b.n_mops], b.rec[: b.n_mops],
+            len(t))
+        if res is None:
+            raise ValueError(
+                f"pool too large for int32 device addressing "
+                f"(pool_len={plen}) and the native toolchain is unavailable")
+        return res
     # small batches: the native C loop beats a device dispatch outright
-    if not FORCE_DEVICE_RUNS:
+    if not FORCE_DEVICE:
         from paffy_tpu import native
         res = native.column_compare_counts(
             pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
@@ -265,7 +299,10 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
 
 
 TILED_THRESHOLD = 1 << 20  # columns; above this, use the tiled kernel
-FORCE_DEVICE_RUNS = False  # test hook: skip the native run-extraction path
+# test hook: skip BOTH native host paths (run extraction in
+# encode_mismatches AND the small-batch counts in column_match_counts) so
+# the device fallbacks stay exercised without a toolchain
+FORCE_DEVICE = False
 
 
 def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
@@ -282,7 +319,7 @@ def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
     # (docs/PERF_NOTES.md).  The device kernels remain the fallback without
     # a native toolchain: tiled above TILED_THRESHOLD, naive below.
     res = None
-    if not FORCE_DEVICE_RUNS:
+    if not FORCE_DEVICE:
         from paffy_tpu import native
         res = native.column_encode_runs(
             pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],

@@ -223,7 +223,7 @@ def _piece_match_counts(pool, meta, interpret=False):
         in_specs=[
             pl.BlockSpec((1, 8, _MCOLS), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 8, _OCOLS), lambda i: (i, 0, 0),
                                memory_space=pltpu.SMEM),

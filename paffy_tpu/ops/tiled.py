@@ -26,7 +26,7 @@ before — the number of elementwise passes over the gathered arrays:
     record chunk boundaries (scatter segment-sums serialize on TPU).
   * int32 everywhere (int64 lowers to u32-pair emulation on TPU and can
     blow scoped VMEM).
-  * chunk-grid padding is linear (64k steps) above 64k chunks — power-of-two
+  * chunk-grid padding is linear (16k steps) above 16k chunks — power-of-two
     bucketing wasted up to 2x kernel time on real batch sizes.
 
 The grid layout (chunks in record->op->column order, valid lanes contiguous
@@ -63,10 +63,39 @@ LOG_STEP = PHASE_STEP.bit_length() - 1
 
 def grid_pad(n: int) -> int:
     """Padding size for the chunk grid: power-of-two buckets while small
-    (bounds compile count), 64k-linear above (bounds padding waste)."""
+    (bounds compile count), 16k-linear above (bounds padding waste)."""
     if n <= _LINEAR_STEP:
         return bucket_size(max(n, 1), minimum=64)
     return -(-n // _LINEAR_STEP) * _LINEAR_STEP
+
+
+# --- int32 addressing limits -------------------------------------------------
+# Every kernel indexes its pool with int32 positions (int64 is emulated on
+# TPU, PERF_NOTES.md).  Callers must check these BEFORE choosing a kernel;
+# the builders raise (a real exception — asserts vanish under `python -O`)
+# so oversized pools can never silently wrap to wrong counts.
+
+def ext_addressable(pool_len: int) -> bool:
+    """Unpacked ext kernel: positions range over the 2*pool_len ext array."""
+    return 2 * pool_len + 2 * W < 2**31
+
+
+def packed4_addressable(pool_len: int) -> bool:
+    """4-bit packed kernel: positions range over pool_len packed bytes."""
+    return pool_len + 2 * W < 2**31
+
+
+def packed2_addressable(pool_len: int) -> bool:
+    """2-bit packed kernel: positions range over pool_len//2 packed bytes."""
+    return pool_len // 2 + 2 * W2 < 2**31
+
+
+def _require(ok: bool, kernel: str, pool_len: int) -> None:
+    if not ok:
+        raise ValueError(
+            f"sequence pool too large for int32 addressing in the {kernel} "
+            f"kernel (pool_len={pool_len}); route this pool to the native "
+            f"host path (64-bit positions)")
 
 
 @dataclass
@@ -149,8 +178,8 @@ def build_chunk_batch(b: MColumnBatch, n_records: int,
     rec_chunk_off[-1] = u
 
     n_cols = int(lens.sum())
-    small = 2 * pool_len + 2 * W < 2**31
-    assert small or u == 0, "ext pool exceeds int32 addressing"
+    if u != 0:
+        _require(ext_addressable(pool_len), "unpacked ext", pool_len)
     pos_t = np.int32
     return AlignedChunkBatch(
         trow=pad_to(trow.astype(pos_t), u_pad),
@@ -441,7 +470,7 @@ def build_packed_chunk_batch(b: MColumnBatch, n_records: int,
     rec_chunk_off = chunk_off[np.minimum(first_mop, b.n_mops)]
     rec_chunk_off[-1] = u
 
-    assert pool_len + 2 * W < 2**31
+    _require(packed4_addressable(pool_len), "4-bit packed", pool_len)
     return PackedChunkBatch(
         trow=pad_to(trow.astype(np.int32), u_pad),
         qwin=pad_to(np.maximum(qwin, 0).astype(np.int32), u_pad),
@@ -603,7 +632,7 @@ def build_packed2_chunk_batch(b: MColumnBatch, n_records: int,
     rec_chunk_off = chunk_off[np.minimum(first_mop, b.n_mops)]
     rec_chunk_off[-1] = u
 
-    assert pool_len // 2 + 2 * W2 < 2**31
+    _require(packed2_addressable(pool_len), "2-bit packed", pool_len)
     return PackedChunkBatch(
         trow=pad_to(trow.astype(np.int32), u_pad),
         qwin=pad_to(np.maximum(qwin, 0).astype(np.int32), u_pad),

@@ -178,7 +178,7 @@ def test_missing_sequence_raises():
 
 def test_compact_device_extraction_matches_full_path(monkeypatch):
     from paffy_tpu.ops import mismatch as mm
-    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
+    monkeypatch.setattr(mm, "FORCE_DEVICE", True)
     seqs, lines = None, None
     import synthdata
     seqs, lines = synthdata.make_workload(seed=13, length=6000, n_windows=10,
@@ -209,7 +209,7 @@ def test_tiled_counts_match_naive(monkeypatch):
 def test_tiled_random_against_oracle(monkeypatch):
     from paffy_tpu.ops import mismatch as mm
     monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
-    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
+    monkeypatch.setattr(mm, "FORCE_DEVICE", True)
     test_random_against_oracle()
 
 
@@ -217,7 +217,7 @@ def test_tiled_exact_chunk_boundaries(monkeypatch):
     # runs of exactly W and W+1 columns; both strands
     from paffy_tpu.ops import mismatch as mm
     monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
-    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
+    monkeypatch.setattr(mm, "FORCE_DEVICE", True)
     rng = np.random.default_rng(5)
     for ln in (127, 128, 129, 256, 257):
         for strand in "+-":
@@ -350,7 +350,7 @@ def test_alphabet_kernel_routing(monkeypatch):
 
 
 def test_native_and_device_run_extraction_agree(monkeypatch):
-    # threshold=1 routes large-path extraction to native C; FORCE_DEVICE_RUNS
+    # threshold=1 routes large-path extraction to native C; FORCE_DEVICE
     # exercises the device tiled_runs fallback — all three must serialize
     # byte-identically
     from paffy_tpu.ops import mismatch as mm
@@ -365,7 +365,7 @@ def test_native_and_device_run_extraction_agree(monkeypatch):
     monkeypatch.setattr(mm, "TILED_THRESHOLD", 1)
     assert native.get_lib() is not None
     nat = serialize_paf(mm.encode_mismatches(t.copy(), pool))
-    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
+    monkeypatch.setattr(mm, "FORCE_DEVICE", True)
     dev = serialize_paf(mm.encode_mismatches(t.copy(), pool))
     assert nat == full and dev == full
 
@@ -381,6 +381,6 @@ def test_naive_device_counts_still_exact(monkeypatch):
     t = parse_paf_text("\n".join(lines) + "\n")
     pool = mm.SequencePool(seqs)
     m0, x0 = mm.column_match_counts(t, pool)           # native C loop
-    monkeypatch.setattr(mm, "FORCE_DEVICE_RUNS", True)
+    monkeypatch.setattr(mm, "FORCE_DEVICE", True)
     m1, x1 = mm.column_match_counts(t, pool)           # naive device kernel
     assert np.array_equal(m0, m1) and np.array_equal(x0, x1)
