@@ -1,21 +1,31 @@
-"""Benchmark: cigar-column throughput of the fused mismatch/stats kernel on
-the golden workload (tests/human_chimp.paf: 207 records, 369,583 cigar ops,
-124,949,228 M-run alignment columns).
+"""Golden-workload benchmark: kernel + end-to-end command throughput.
 
-Headline metric: alignment columns/s through the device column-compare +
-per-record-stats kernel (the ``paffy view -s`` / ``add_mismatches`` hot path,
-reference loops impl/paf.c:754-768).  The reference publishes no numbers
-(BASELINE.md), so ``vs_baseline`` is the speedup over the same computation as
-a single-pass vectorized numpy pipeline on the host CPU (measured on a 16M
-column subset — the host here is a 2-vCPU machine), a stand-in for the
-reference's per-base C loop.
-
-Sequences are synthesized by the native C helper to the golden file's exact
-coordinate structure with a ~96.5% column match rate; the device receives an
-identical copy of the pool, so the device results are cross-checked against
+Workload: tests/human_chimp.paf (207 records, 369,583 cigar ops, 124,949,228
+M-run alignment columns) with sequences synthesized by the native C helper to
+the file's exact coordinate structure (~96.5% column match rate); device and
+host receive identical pools, so every device result is cross-checked against
 the single-threaded C loop bit-for-bit.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Three measurements (reference hot paths in parentheses):
+
+1. ``alignment_columns_per_second`` — the fused column-compare + per-record
+   stats kernel alone (paf_encode_mismatches inner loop, impl/paf.c:754-768).
+   Headline metric; ``vs_baseline`` is the speedup over the single-threaded
+   C per-base loop on the identical pool.
+2. ``view -s`` END-TO-END on the 16x-replicated workload: parse -> column
+   batch -> counts (device kernel vs C loop) -> per-record stat lines +
+   aggregate (impl/paf_view.c:151-197).  Byte-equality between the two paths
+   is asserted.  Reported as records/s in ``extra``.
+3. ``add_mismatches`` END-TO-END on the 4x-replicated workload: parse ->
+   native =/X run extraction -> CSR rebuild -> serialize
+   (impl/paf_add_mismatches.c:111-133).  Production (threaded) vs
+   single-threaded extraction, byte-equality asserted.  Reported as
+   cigar-ops/s in ``extra``.
+
+The reference publishes no numbers (BASELINE.md), so baselines are the same
+computation in single-threaded C on this host.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 Diagnostics go to stderr.
 """
 
@@ -31,29 +41,46 @@ import numpy as np
 GOLDEN = "/root/reference/tests/human_chimp.paf"
 BLOCK = 1 << 16
 MATCH_RATE = 0.965
-BASELINE_COLS = 16_000_000
+REP_VIEW = 16
+REP_AM = 4
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def load_workload():
-    from paffy_tpu.core import pafio
+def load_golden_text() -> str:
     if os.path.exists(GOLDEN):
         with open(GOLDEN) as fh:
-            text = fh.read()
-        t0 = time.time()
-        t = pafio.parse_paf_text(text)
-        log(f"parsed {len(t)} records / {int(t.off[-1])} ops "
-            f"in {time.time()-t0:.3f}s")
-    else:
-        log("golden file missing; synthesizing equivalent workload")
-        from tests.synthdata import make_workload
-        seqs, lines = make_workload(seed=0, length=2_000_000, n_windows=200,
-                                    window=60_000, step=9_500)
-        t = pafio.parse_paf_text("\n".join(lines) + "\n")
-    return t
+            return fh.read()
+    log("golden file missing; synthesizing equivalent workload")
+    from tests.synthdata import make_workload
+    seqs, lines = make_workload(seed=0, length=2_000_000, n_windows=200,
+                                window=60_000, step=9_500)
+    return "\n".join(lines) + "\n"
+
+
+def rename_contigs(text: str) -> str:
+    """Distinct query/target names (both golden sequences are 'chr10'):
+    the end-to-end paths key sequences by name, like the reference's
+    FASTA hash (impl/paf_view.c:127-134)."""
+    out = []
+    for line in text.splitlines():
+        c = line.split("\t")
+        c[0] = "q_" + c[0]
+        c[5] = "t_" + c[5]
+        out.append("\t".join(c))
+    return "\n".join(out) + "\n"
+
+
+def load_workload():
+    from paffy_tpu.core import pafio
+    text = rename_contigs(load_golden_text())
+    t0 = time.time()
+    t = pafio.parse_paf_text(text)
+    log(f"parsed {len(t)} records / {int(t.off[-1])} ops "
+        f"in {time.time()-t0:.3f}s")
+    return t, text
 
 
 def build_columns(t):
@@ -72,27 +99,13 @@ def build_columns(t):
     toff = np.array([offsets[keys[(t.tname[i], int(t.tlen[i]))]]
                      for i in range(len(t))], dtype=np.int64)
     pool_size = -(-(int(offsets[-1]) + POOL_GUARD + 2 * POOL_W) // POOL_W) * POOL_W
-    return build_m_column_batch(t, qoff, toff), pool_size
-
-
-def _dev_args(b, pool_size):
-    """Ship the (small) per-op metadata as int32 device arrays."""
-    import jax.numpy as jnp
-    assert pool_size < 2**31
-    return dict(
-        lens=jnp.asarray(b.lens.astype(np.int32)),
-        qpos0=jnp.asarray(b.qpos0.astype(np.int32)),
-        tpos0=jnp.asarray(b.tpos0.astype(np.int32)),
-        rev=jnp.asarray(b.rev),
-        col_off=jnp.asarray(b.col_off.astype(np.int32)),
-        rec_col_off=jnp.asarray(b.rec_col_off.astype(np.int32)))
+    name_off = {nm: int(offsets[k]) for (nm, _), k in keys.items()}
+    return build_m_column_batch(t, qoff, toff), pool_size, name_off
 
 
 def build_host_pool(b, pool_size, seed=7):
     """Host pool: tiled random block + native C synthesis of query bytes
-    through the alignment map (~96.5% column match rate).  The device gets an
-    exact copy, so device results can be cross-checked against the C loop
-    bit-for-bit."""
+    through the alignment map (~96.5% column match rate)."""
     from paffy_tpu import native
     rng = np.random.default_rng(seed)
     block = np.frombuffer(b"ACGT", dtype=np.uint8)[
@@ -109,6 +122,8 @@ def build_host_pool(b, pool_size, seed=7):
     log(f"host pool synthesized ({pool_size/1e6:.0f} MB) in {time.time()-t0:.1f}s")
     return host_pool
 
+
+# ------------------------------------------------------------ kernel bench
 
 def bench_device(host_pool, b, t, iters=40):
     """Upload the pool, run the tiled kernel.
@@ -150,14 +165,6 @@ def bench_device(host_pool, b, t, iters=40):
     m, x = _packed2_match_counts(packed2d, pviews, *cargs)
     mv, xv = np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
     log(f"device: compile+first+fetch {time.time()-t0:.1f}s")
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        m, x = _packed2_match_counts(packed2d, pviews, *cargs)
-        np.asarray(m)
-        times.append(time.time() - t0)
-    log(f"device: {min(times)*1e3:.1f} ms/call single-call fetch-timed "
-        f"(includes a full tunnel roundtrip; diagnostic only)")
 
     @partial(jax.jit, static_argnames=("iters",))
     def loop(p2d, pv, trow, qwin, qpar, col_a, col_b, rco, iters):
@@ -178,7 +185,7 @@ def bench_device(host_pool, b, t, iters=40):
     dt = min(times) / iters
     log(f"device: {dt*1e3:.2f} ms/iter ({iters} kernel executions in one "
         f"dispatch, rotated inputs, min of 3) -> {b.n_cols/dt/1e9:.3f} Gcol/s")
-    return b.n_cols / dt, mv, xv
+    return b.n_cols / dt, mv, xv, (packed2d, pviews)
 
 
 def bench_baseline(host_pool, b, iters=3):
@@ -197,9 +204,132 @@ def bench_baseline(host_pool, b, iters=3):
     return b.n_cols / dt, m, x
 
 
+# --------------------------------------------------------- end-to-end view
+
+def view_e2e(big_text, host_pool, name_off, device):
+    """Full `paffy view -s` pipeline over PAF text: parse -> column batch ->
+    per-record counts -> stat lines + aggregate.  ``device`` is
+    (packed2d, pviews) for the TPU counts path, or None for the
+    single-threaded C loop.  Returns (output bytes, seconds, n_records)."""
+    from paffy_tpu import native
+    from paffy_tpu.core import pafio
+    from paffy_tpu.ops.segments import build_m_column_batch
+    from paffy_tpu.ops.transforms import stats_calc_with_m
+    from paffy_tpu.commands.view import _f, _ident, _ident_gaps
+
+    t0 = time.time()
+    t = pafio.parse_paf_text(big_text)
+    qoff = np.array([name_off[n] for n in t.qname], dtype=np.int64)
+    toff = np.array([name_off[n] for n in t.tname], dtype=np.int64)
+    b = build_m_column_batch(t, qoff, toff)
+    if device is not None:
+        import jax.numpy as jnp
+        from paffy_tpu.ops.tiled import (build_packed2_chunk_batch,
+                                         _packed2_match_counts)
+        packed2d, pviews = device
+        cb = build_packed2_chunk_batch(b, len(t), pool_len=len(host_pool))
+        m, x = _packed2_match_counts(
+            packed2d, pviews, jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
+            jnp.asarray(cb.qpar), jnp.asarray(cb.col_a),
+            jnp.asarray(cb.col_b), jnp.asarray(cb.rec_chunk_off))
+        m = np.asarray(m).astype(np.int64)[: len(t)]
+        x = np.asarray(x).astype(np.int64)[: len(t)]
+    else:
+        m, x = native.column_compare_counts(
+            host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+            b.tpos0[: b.n_mops], b.rev[: b.n_mops], b.rec[: b.n_mops],
+            len(t))
+    stats, m_op_lens = stats_calc_with_m(t)
+    stats["matches"] = stats["matches"] - m_op_lens + m
+    stats["mismatches"] = stats["mismatches"] + x
+    vals = np.column_stack([
+        t.qstart, t.qend, t.tstart, t.tend, t.strand.astype(np.int64),
+        t.score, stats["matches"], stats["mismatches"],
+        stats["query_inserts"], stats["query_deletes"],
+        stats["query_insert_bases"], stats["query_delete_bases"]])
+    blob = native.view_stats_lines(t.qname, t.tname, vals)
+    tm = int(stats["matches"].sum())
+    tx = int(stats["mismatches"].sum())
+    tqi = int(stats["query_inserts"].sum())
+    tqd = int(stats["query_deletes"].sum())
+    tqib = int(stats["query_insert_bases"].sum())
+    tqdb = int(stats["query_delete_bases"].sum())
+    blob += (
+        f"Total-alignments:{len(t)}\tAvg-Identity:{_f(_ident(tm, tx))}"
+        f"\tAvg-Identity-with-gaps:{_f(_ident_gaps(tm, tx, tqib, tqdb))}"
+        f"\tAligned-bases:{tm+tx}\tAligned-bases-with-gaps:{tm+tx+tqib+tqdb}"
+        f"\tQuery-inserts:{tqi}\tQuery-deletes:{tqd}\n").encode()
+    return blob, time.time() - t0, len(t)
+
+
+def bench_view_e2e(text, host_pool, name_off, device, iters=3):
+    big = text * REP_VIEW
+    base_out, _, n = view_e2e(big, host_pool, name_off, None)
+    dev_out, _, _ = view_e2e(big, host_pool, name_off, device)  # warm compile
+    if dev_out != base_out:
+        log("ERROR: view e2e device output differs from C path!")
+        sys.exit(1)
+    base_ts, dev_ts = [], []
+    for _ in range(iters):   # interleaved: see bench_am_e2e
+        base_ts.append(view_e2e(big, host_pool, name_off, None)[1])
+        dev_ts.append(view_e2e(big, host_pool, name_off, device)[1])
+    base_dt, dev_dt = min(base_ts), min(dev_ts)
+    log(f"view -s e2e x{REP_VIEW} ({n} records): C {base_dt:.2f}s, "
+        f"device {dev_dt:.2f}s -> {n/dev_dt:.0f} rec/s "
+        f"({REP_VIEW*124949228/dev_dt/1e9:.2f} Gcol/s e2e); outputs byte-identical")
+    return n / dev_dt, base_dt / dev_dt
+
+
+# ----------------------------------------------- end-to-end add_mismatches
+
+class _PoolShim:
+    """Minimal SequencePool stand-in over the benchmark's host pool (the
+    native extraction route only touches host_pool + offsets_for)."""
+
+    def __init__(self, host_pool, name_off):
+        self.host_pool = host_pool
+        self._name_off = name_off
+
+    def offsets_for(self, names, role):
+        return np.array([self._name_off[n] for n in names], dtype=np.int64)
+
+
+def am_e2e(big_text, shim, n_threads):
+    """Full `paffy add_mismatches` pipeline: parse -> =/X extraction ->
+    CSR rebuild -> serialize.  Returns (output bytes, seconds, n_ops)."""
+    from paffy_tpu.core import pafio
+    from paffy_tpu.ops.mismatch import encode_mismatches
+    t0 = time.time()
+    t = pafio.parse_paf_text(big_text)
+    te = encode_mismatches(t, shim, n_threads=n_threads)
+    out = pafio.serialize_paf(te)
+    return out, time.time() - t0, int(t.off[-1])
+
+
+def bench_am_e2e(text, host_pool, name_off, iters=3):
+    big = text * REP_AM
+    shim = _PoolShim(host_pool, name_off)
+    base_out, _, n_ops = am_e2e(big, shim, n_threads=1)
+    prod_out, _, _ = am_e2e(big, shim, n_threads=None)
+    if prod_out != base_out:
+        log("ERROR: add_mismatches threaded output differs from single-thread!")
+        sys.exit(1)
+    # interleave the two variants: this host is a shared 2-vCPU box and
+    # back-to-back wall times swing ~2x, so paired mins are the fair read
+    base_ts, prod_ts = [], []
+    for _ in range(iters):
+        base_ts.append(am_e2e(big, shim, n_threads=1)[1])
+        prod_ts.append(am_e2e(big, shim, n_threads=None)[1])
+    base_dt, prod_dt = min(base_ts), min(prod_ts)
+    log(f"add_mismatches e2e x{REP_AM} ({n_ops} input ops): 1-thread "
+        f"{base_dt:.2f}s, production {prod_dt:.2f}s -> {n_ops/prod_dt/1e6:.2f} "
+        f"Mops/s; outputs byte-identical")
+    return n_ops / prod_dt, base_dt / prod_dt
+
+
 def main():
-    t = load_workload()
-    b, pool_size = build_columns(t)
+    t, text = load_workload()
+    b, pool_size, name_off = build_columns(t)
     log(f"workload: {b.n_cols} alignment columns over {b.n_mops} M runs; "
         f"pool {pool_size/1e6:.0f} MB")
     host_pool = build_host_pool(b, pool_size)
@@ -207,7 +337,7 @@ def main():
     ident = m_c.sum() / max(m_c.sum() + x_c.sum(), 1)
     log(f"column identity {ident:.4f} (target ~{MATCH_RATE})")
 
-    dev_cols_s, m_d, x_d = bench_device(host_pool, b, t)
+    dev_cols_s, m_d, x_d, device = bench_device(host_pool, b, t)
     m_d = m_d.astype(np.int64)
     x_d = x_d.astype(np.int64)
     if not (np.array_equal(m_c, m_d[: len(m_c)])
@@ -215,11 +345,22 @@ def main():
         log("ERROR: device and C results differ!")
         sys.exit(1)
     log("device/C per-record results identical")
+
+    view_rec_s, view_vs = bench_view_e2e(text, host_pool, name_off, device)
+    am_ops_s, am_vs = bench_am_e2e(text, host_pool, name_off)
+
     print(json.dumps({
         "metric": "alignment_columns_per_second",
         "value": round(dev_cols_s, 1),
         "unit": "columns/s",
         "vs_baseline": round(dev_cols_s / base_cols_s, 3),
+        "extra": {
+            "view_e2e_records_per_second": round(view_rec_s, 1),
+            "view_e2e_vs_single_thread_c": round(view_vs, 3),
+            "add_mismatches_e2e_cigar_ops_per_second": round(am_ops_s, 1),
+            "add_mismatches_e2e_vs_single_thread": round(am_vs, 3),
+            "byte_equality_gates": "passed",
+        },
     }))
 
 

@@ -22,7 +22,7 @@ from paffy_tpu.core import pafio
 from paffy_tpu.core.model import QUERY_INSERT, QUERY_DELETE
 from paffy_tpu.core.fasta import load_sequences, COMPLEMENT_TABLE, UPPER_TABLE, seq_to_bytes
 from paffy_tpu.ops.mismatch import SequencePool, column_match_counts
-from paffy_tpu.ops.transforms import stats_calc
+from paffy_tpu.ops.transforms import stats_calc_with_m
 from paffy_tpu.utils.logging import log_info
 
 
@@ -127,27 +127,42 @@ def main(argv) -> int:
     out = open_output(args)
     totals = np.zeros(6, dtype=np.int64)  # m, x, qi, qd, qib, qdb
     n_total = 0
-    from paffy_tpu.core.segsum import segment_sums_by_offsets
     try:
         for t in stream_tables(args):
             # Fused stats: per-column match/mismatch counts straight from the
             # device kernel; the re-encoded cigar is never materialized (the
             # reference encodes then walks the cigar, impl/paf_view.c:167-178
             # — the stats are identical).
-            stats = stats_calc(t)
+            stats, m_op_lens = stats_calc_with_m(t)
             try:
                 m_cols, x_cols = column_match_counts(t, pool)
             except KeyError as e:
                 print(str(e.args[0]), file=sys.stderr)
                 return 1
-            m_op_lens = segment_sums_by_offsets(
-                np.where(t.ops == 0, t.lens, 0), t.off)
             stats["matches"] = stats["matches"] - m_op_lens + m_cols
             stats["mismatches"] = stats["mismatches"] + x_cols
             if not args.noPerAlignmentStats:
-                for i in range(len(t)):
-                    pretty_print_record(t, i, stats, out,
-                                        args.includeAlignment, seqs)
+                blob = None
+                if not args.includeAlignment:
+                    # batch-format the stat lines natively (a per-record
+                    # f-string loop was the bottleneck of the default view
+                    # output on large files); -a interleaves the alignment
+                    # rendering per record and keeps the per-record path
+                    from paffy_tpu import native
+                    vals = np.column_stack([
+                        t.qstart, t.qend, t.tstart, t.tend,
+                        t.strand.astype(np.int64), t.score,
+                        stats["matches"], stats["mismatches"],
+                        stats["query_inserts"], stats["query_deletes"],
+                        stats["query_insert_bases"],
+                        stats["query_delete_bases"]])
+                    blob = native.view_stats_lines(t.qname, t.tname, vals)
+                if blob is not None:
+                    out.write(blob.decode("latin-1"))
+                else:
+                    for i in range(len(t)):
+                        pretty_print_record(t, i, stats, out,
+                                            args.includeAlignment, seqs)
             totals += np.array([stats["matches"].sum(),
                                 stats["mismatches"].sum(),
                                 stats["query_inserts"].sum(),

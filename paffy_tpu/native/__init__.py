@@ -66,6 +66,38 @@ def get_lib():
         lib.paf_serialize_bound.argtypes = [ctypes.c_longlong,
                                             ctypes.c_longlong,
                                             ctypes.c_longlong]
+        lib.encode_runs_per_mop.restype = None
+        lib.encode_runs_per_mop.argtypes = [_U8P, ctypes.c_longlong, _I64P,
+                                            _I64P, _I64P, _U8P, _I64P,
+                                            ctypes.c_longlong]
+        lib.encode_runs_fill_cigar.restype = None
+        lib.encode_runs_fill_cigar.argtypes = [_U8P, ctypes.c_longlong,
+                                               _I64P, _I64P, _I64P, _U8P,
+                                               _I64P, _U8P, _I64P,
+                                               ctypes.c_longlong]
+        lib.build_mop_batch.restype = ctypes.c_longlong
+        lib.build_mop_batch.argtypes = [ctypes.c_longlong, _U8P, _I64P,
+                                        _I64P, _U8P, _I64P, _I64P, _I64P,
+                                        _I64P, _I64P, _I64P, _I64P, _I64P,
+                                        _I64P, _U8P, _I64P, _I64P, _I64P]
+        lib.build_packed2_grid.restype = ctypes.c_longlong
+        _I32P = ctypes.POINTER(ctypes.c_int)
+        _I16P = ctypes.POINTER(ctypes.c_short)
+        _I8P = ctypes.POINTER(ctypes.c_byte)
+        lib.build_packed2_grid.argtypes = [ctypes.c_longlong, _I64P, _I64P,
+                                           _I64P, _U8P, _I64P,
+                                           ctypes.c_longlong,
+                                           ctypes.c_longlong,
+                                           ctypes.c_longlong,
+                                           _I32P, _I32P, _I8P, _I16P, _I16P,
+                                           _I32P]
+        lib.cigar_stats.restype = None
+        lib.cigar_stats.argtypes = [ctypes.c_longlong, _U8P, _I64P, _I64P,
+                                    _I64P]
+        lib.view_stats_lines.restype = ctypes.c_longlong
+        lib.view_stats_lines.argtypes = [ctypes.c_longlong, _I64P, _I64P,
+                                         ctypes.c_char_p, _I64P,
+                                         ctypes.c_char_p]
         lib.synth_query_pool.restype = None
         lib.synth_query_pool.argtypes = [_U8P, ctypes.c_longlong, _I64P,
                                          _I64P, _I64P, _U8P,
@@ -139,12 +171,10 @@ def parse_paf_bytes(data: bytes):
     return ints, flags, rtype, qnames, tnames, ops, lens, off
 
 
-def serialize_paf_arrays(ints, flags, rtype, qnames, tnames, ops, lens, off) -> bytes | None:
-    lib = get_lib()
-    if lib is None:
-        return None
-    n = len(flags)
-    # rebuild a NUL-separated name pool
+def _name_pool(qnames, tnames):
+    """NUL-separated name pool + per-record offsets for the native
+    formatters."""
+    n = len(qnames)
     enc_q = [q.encode("latin-1") for q in qnames]
     enc_t = [t.encode("latin-1") for t in tnames]
     qoff = np.zeros(n, dtype=np.int64)
@@ -158,7 +188,15 @@ def serialize_paf_arrays(ints, flags, rtype, qnames, tnames, ops, lens, off) -> 
         toff[i] = pos
         parts.append(enc_t[i])
         pos += len(enc_t[i]) + 1
-    pool = b"\0".join(parts) + b"\0"
+    return b"\0".join(parts) + b"\0", qoff, toff
+
+
+def serialize_paf_arrays(ints, flags, rtype, qnames, tnames, ops, lens, off) -> bytes | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(flags)
+    pool, qoff, toff = _name_pool(qnames, tnames)
     bound = int(lib.paf_serialize_bound(n, len(ops), len(pool)))
     out = np.empty(bound, dtype=np.uint8)
     ints = np.ascontiguousarray(ints, dtype=np.int64)
@@ -169,6 +207,27 @@ def serialize_paf_arrays(ints, flags, rtype, qnames, tnames, ops, lens, off) -> 
         _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
         _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
         out.ctypes.data_as(ctypes.c_char_p))
+    return out[: int(written)].tobytes()
+
+
+def view_stats_lines(qnames, tnames, vals: np.ndarray) -> bytes | None:
+    """Batch-format `paffy view` per-record stat lines.
+
+    vals is int64 [n,12]: qstart qend tstart tend strand score matches
+    mismatches query_inserts query_deletes query_insert_bases
+    query_delete_bases.  Returns the formatted block, or None when the
+    native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qnames)
+    pool, qoff, toff = _name_pool(qnames, tnames)
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    out = np.empty(n * 430 + len(pool), dtype=np.uint8)
+    written = lib.view_stats_lines(n, _p_i64(qoff), _p_i64(toff), pool,
+                                   _p_i64(vals),
+                                   out.ctypes.data_as(ctypes.c_char_p))
     return out[: int(written)].tobytes()
 
 
@@ -223,6 +282,115 @@ def column_encode_runs(pool: np.ndarray, lens, qpos0, tpos0, rev,
                                     _p_i64(shard_counts)))
     assert n2 == n
     return starts, vals.astype(bool)
+
+
+def _default_threads(n_threads):
+    return min(os.cpu_count() or 1, 8) if n_threads is None else n_threads
+
+
+def encode_runs_per_mop(pool: np.ndarray, lens, qpos0, tpos0, rev,
+                        n_threads: int | None = None):
+    """Per-M-op =/X run counts (the CSR-rebuild count pass), or None when
+    the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_mops = len(lens)
+    out = np.empty(n_mops, dtype=np.int64)
+    lib.encode_runs_per_mop(
+        _p_u8(np.ascontiguousarray(pool)), n_mops,
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qpos0, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(tpos0, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
+        _p_i64(out), _default_threads(n_threads))
+    return out
+
+
+def encode_runs_fill_cigar(pool: np.ndarray, lens, qpos0, tpos0, rev,
+                           dest_off: np.ndarray, new_ops: np.ndarray,
+                           new_lens: np.ndarray,
+                           n_threads: int | None = None) -> None:
+    """Write each M op's =/X runs directly into (new_ops, new_lens) at
+    dest_off[j] (the CSR-rebuild fill pass)."""
+    lib = get_lib()
+    assert lib is not None
+    lib.encode_runs_fill_cigar(
+        _p_u8(np.ascontiguousarray(pool)), len(lens),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qpos0, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(tpos0, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(dest_off, dtype=np.int64)),
+        _p_u8(new_ops), _p_i64(new_lens), _default_threads(n_threads))
+
+
+def build_mop_batch(n_records: int, ops, lens, off, strand, qstart, qend,
+                    tstart, qpool_off, tpool_off, n_mops: int,
+                    outs: dict) -> int | None:
+    """Fill the MColumnBatch arrays (see ops/segments.build_m_column_batch);
+    ``outs`` holds preallocated mlens/recs/qpos0/tpos0/rev/col_off/
+    rec_col_off/flat_idx.  Returns n_cols, or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return int(lib.build_mop_batch(
+        n_records, _p_u8(np.ascontiguousarray(ops)),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(strand, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(qstart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qend, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(tstart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qpool_off, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(tpool_off, dtype=np.int64)),
+        _p_i64(outs["mlens"]), _p_i64(outs["recs"]), _p_i64(outs["qpos0"]),
+        _p_i64(outs["tpos0"]), _p_u8(outs["rev"]), _p_i64(outs["col_off"]),
+        _p_i64(outs["rec_col_off"]), _p_i64(outs["flat_idx"])))
+
+
+def build_packed2_grid(lens, qpos0, tpos0, rev, recs, n_records: int,
+                       pool_len: int, w2: int, outs: dict | None):
+    """2-bit chunk-grid builder (see ops/tiled.build_packed2_chunk_batch).
+    outs=None counts chunks; with outs (int32 trow/qwin/qpar/col_a/col_b/
+    rec_chunk_off) fills them.  Returns the chunk count, or None when
+    unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    def p(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    args = [len(lens),
+            _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+            _p_i64(np.ascontiguousarray(qpos0, dtype=np.int64)),
+            _p_i64(np.ascontiguousarray(tpos0, dtype=np.int64)),
+            _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
+            _p_i64(np.ascontiguousarray(recs, dtype=np.int64)),
+            n_records, pool_len, w2]
+    if outs is None:
+        args += [None] * 6
+    else:
+        args += [p(outs["trow"], ctypes.c_int), p(outs["qwin"], ctypes.c_int),
+                 p(outs["qpar"], ctypes.c_byte),
+                 p(outs["col_a"], ctypes.c_short),
+                 p(outs["col_b"], ctypes.c_short),
+                 p(outs["rec_chunk_off"], ctypes.c_int)]
+    return int(lib.build_packed2_grid(*args))
+
+
+def cigar_stats(n_records: int, ops, lens, off) -> np.ndarray | None:
+    """Per-record stats [n,7] in one C pass (see paffy_io.cpp cigar_stats),
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((n_records, 7), dtype=np.int64)
+    lib.cigar_stats(n_records, _p_u8(np.ascontiguousarray(ops)),
+                    _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+                    _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
+                    _p_i64(out))
+    return out
 
 
 def synth_query_pool(pool: np.ndarray, lens, qpos0, tpos0, rev,

@@ -297,6 +297,65 @@ long long paf_serialize_bound(long long n_records, long long n_ops,
     return n_records * 320 + n_ops * 22 + name_pool_bytes * 2;
 }
 
+// C printf %f of a float32 value promoted to double; NaN prints "nan"
+// unsigned to match Python's str(np.float32 nan) (paf_pretty_print's
+// Identity fields, impl/paf.c:272-273).
+static inline char* write_f6(char* b, float v) {
+    if (v != v) { memcpy(b, "nan", 3); return b + 3; }
+    return b + snprintf(b, 40, "%f", (double)v);
+}
+
+// Batch-format the per-record `paffy view` stat lines (paf_pretty_print,
+// impl/paf.c:269-281).  vals is [n,12] int64:
+//   qstart qend tstart tend strand score matches mismatches
+//   query_inserts query_deletes query_insert_bases query_delete_bases
+// Returns bytes written; caller guarantees capacity via
+// n_records * 430 + name_pool_bytes.
+long long view_stats_lines(long long n_records,
+                           const long long* qname_off,
+                           const long long* tname_off,
+                           const char* name_pool,
+                           const long long* vals,
+                           char* out) {
+    char* b = out;
+    for (long long i = 0; i < n_records; ++i) {
+        const long long* V = vals + i * 12;
+        const char* qn = name_pool + qname_off[i];
+        const char* tn = name_pool + tname_off[i];
+        size_t ql = strlen(qn), tl = strlen(tn);
+        memcpy(b, "Query:", 6); b += 6;
+        memcpy(b, qn, ql); b += ql;
+        memcpy(b, "\tQ-start:", 9); b += 9;
+        b = write_i64(b, V[0]);
+        memcpy(b, "\tQ-length:", 10); b += 10;
+        b = write_i64(b, V[1] - V[0]);
+        memcpy(b, "\tTarget:", 8); b += 8;
+        memcpy(b, tn, tl); b += tl;
+        memcpy(b, "\tT-start:", 9); b += 9;
+        b = write_i64(b, V[2]);
+        memcpy(b, "\tT-length:", 10); b += 10;
+        b = write_i64(b, V[3] - V[2]);
+        memcpy(b, "\tSame-strand:", 13); b += 13;
+        b = write_i64(b, V[4]);
+        memcpy(b, "\tScore:", 7); b += 7;
+        b = write_i64(b, V[5]);
+        memcpy(b, "\tIdentity:", 10); b += 10;
+        b = write_f6(b, (float)V[6] / (float)(V[6] + V[7]));
+        // no colon after Identity-with-gaps: the reference format string
+        // omits it (impl/paf.c:273)
+        memcpy(b, "\tIdentity-with-gaps", 19); b += 19;
+        b = write_f6(b, (float)V[6] / (float)(V[6] + V[7] + V[10] + V[11]));
+        memcpy(b, "\tAligned-bases:", 15); b += 15;
+        b = write_i64(b, V[6] + V[7]);
+        memcpy(b, "\tQuery-inserts:", 15); b += 15;
+        b = write_i64(b, V[8]);
+        memcpy(b, "\tQuery-deletes:", 15); b += 15;
+        b = write_i64(b, V[9]);
+        *b++ = '\n';
+    }
+    return b - out;
+}
+
 // ------------------------------------------------- CPU column compare loop
 // Reference-style per-base mismatch counting (the inner loop of
 // paf_encode_mismatches, impl/paf.c:754-768) over the flat M-run arrays —
@@ -499,6 +558,255 @@ long long column_encode_runs(const unsigned char* pool,
     }
     for (auto& t : th) t.join();
     return off[n_threads];
+}
+
+// ------------------------------------------ direct CSR-form run extraction
+// The compact (starts, vals) form above still needs an O(runs) numpy rebuild
+// (searchsorted + add.at over tens of millions of runs — measured several
+// seconds at 27M runs).  These two passes skip it: count runs per M op, then
+// write each op's (=/X, length) runs straight into the output cigar arrays
+// at caller-computed destination offsets.  Parallel over mop ranges (each
+// mop's runs are independent).
+
+static void mop_range_bounds(long long n_mops, const long long* lens,
+                             long long n_threads, std::vector<long long>& jb) {
+    long long total = 0;
+    for (long long j = 0; j < n_mops; ++j) total += lens[j];
+    jb.assign(n_threads + 1, n_mops);
+    jb[0] = 0;
+    long long j = 0, col = 0;
+    for (long long s = 1; s < n_threads; ++s) {
+        const long long target = total * s / n_threads;
+        while (j < n_mops && col < target) col += lens[j++];
+        jb[s] = j;
+    }
+}
+
+static void count_runs_shard(const unsigned char* pool,
+                             long long j0, long long j1,
+                             const long long* lens, const long long* qpos0,
+                             const long long* tpos0, const unsigned char* rev,
+                             long long* runs_per_mop) {
+    for (long long j = j0; j < j1; ++j) {
+        const long long L = lens[j];
+        const unsigned char* tp = pool + tpos0[j];
+        const unsigned char* qp = pool + qpos0[j];
+        const long long step = rev[j] ? -1 : 1;
+        const bool rc = rev[j] != 0;
+        long long n = 0;
+        int prev = -1;
+        for (long long i = 0; i < L; ++i) {
+            unsigned char qb = qp[i * step];
+            if (rc) qb = COMP_TBL[qb];
+            const int m = UPPER_TBL[tp[i]] == UPPER_TBL[qb];
+            n += (m != prev);
+            prev = m;
+        }
+        runs_per_mop[j] = n;
+    }
+}
+
+static void fill_runs_shard(const unsigned char* pool,
+                            long long j0, long long j1,
+                            const long long* lens, const long long* qpos0,
+                            const long long* tpos0, const unsigned char* rev,
+                            const long long* dest_off,
+                            unsigned char* new_ops, long long* new_lens) {
+    // op codes match the reference enum (inc/paf.h:52-58): '='=3, 'X'=4
+    for (long long j = j0; j < j1; ++j) {
+        const long long L = lens[j];
+        const unsigned char* tp = pool + tpos0[j];
+        const unsigned char* qp = pool + qpos0[j];
+        const long long step = rev[j] ? -1 : 1;
+        const bool rc = rev[j] != 0;
+        long long d = dest_off[j], run_len = 0;
+        int prev = -1;
+        for (long long i = 0; i < L; ++i) {
+            unsigned char qb = qp[i * step];
+            if (rc) qb = COMP_TBL[qb];
+            const int m = UPPER_TBL[tp[i]] == UPPER_TBL[qb];
+            if (m != prev && prev != -1) {
+                new_ops[d] = prev ? 3 : 4;
+                new_lens[d] = run_len;
+                ++d;
+                run_len = 0;
+            }
+            ++run_len;
+            prev = m;
+        }
+        if (L > 0) {
+            new_ops[d] = prev ? 3 : 4;
+            new_lens[d] = run_len;
+        }
+    }
+}
+
+void encode_runs_per_mop(const unsigned char* pool, long long n_mops,
+                         const long long* lens, const long long* qpos0,
+                         const long long* tpos0, const unsigned char* rev,
+                         long long* runs_per_mop, long long n_threads) {
+    init_tables();
+    if (n_threads <= 1 || n_mops < 1024) {
+        count_runs_shard(pool, 0, n_mops, lens, qpos0, tpos0, rev,
+                         runs_per_mop);
+        return;
+    }
+    std::vector<long long> jb;
+    mop_range_bounds(n_mops, lens, n_threads, jb);
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s) {
+        th.emplace_back([&, s] {
+            count_runs_shard(pool, jb[s], jb[s + 1], lens, qpos0, tpos0, rev,
+                             runs_per_mop);
+        });
+    }
+    for (auto& t : th) t.join();
+}
+
+void encode_runs_fill_cigar(const unsigned char* pool, long long n_mops,
+                            const long long* lens, const long long* qpos0,
+                            const long long* tpos0, const unsigned char* rev,
+                            const long long* dest_off,
+                            unsigned char* new_ops, long long* new_lens,
+                            long long n_threads) {
+    init_tables();
+    if (n_threads <= 1 || n_mops < 1024) {
+        fill_runs_shard(pool, 0, n_mops, lens, qpos0, tpos0, rev, dest_off,
+                        new_ops, new_lens);
+        return;
+    }
+    std::vector<long long> jb;
+    mop_range_bounds(n_mops, lens, n_threads, jb);
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s) {
+        th.emplace_back([&, s] {
+            fill_runs_shard(pool, jb[s], jb[s + 1], lens, qpos0, tpos0, rev,
+                            dest_off, new_ops, new_lens);
+        });
+    }
+    for (auto& t : th) t.join();
+}
+
+// -------------------------------------------------------- batch builders
+// Host-side preparation of the device kernel metadata (the numpy versions
+// in ops/segments.py / ops/tiled.py are the no-toolchain fallback).  These
+// are single sequential passes — the work is a few ops per cigar op /
+// chunk, far below memory bandwidth.
+
+// Flatten the M ops of a record batch into the per-mop arrays of
+// MColumnBatch (ops/segments.build_m_column_batch).  Outputs must be sized
+// >= n_mops (+1 for col_off; n_records+1 for rec_col_off).  Returns n_cols.
+long long build_mop_batch(long long n_records,
+                          const unsigned char* ops, const long long* lens,
+                          const long long* off, const unsigned char* strand,
+                          const long long* qstart, const long long* qend,
+                          const long long* tstart,
+                          const long long* qpool_off,
+                          const long long* tpool_off,
+                          long long* mlens, long long* recs,
+                          long long* qpos0, long long* tpos0,
+                          unsigned char* rev, long long* col_off,
+                          long long* rec_col_off, long long* flat_idx) {
+    long long n_mops = 0, n_cols = 0;
+    col_off[0] = 0;
+    for (long long r = 0; r < n_records; ++r) {
+        rec_col_off[r] = n_cols;
+        long long q_excl = 0, t_excl = 0;
+        const bool fwd = strand[r] != 0;
+        for (long long k = off[r]; k < off[r + 1]; ++k) {
+            const unsigned char op = ops[k];
+            const long long L = lens[k];
+            if (op == 0) {               // M
+                mlens[n_mops] = L;
+                recs[n_mops] = r;
+                rev[n_mops] = fwd ? 0 : 1;
+                qpos0[n_mops] = fwd ? qpool_off[r] + qstart[r] + q_excl
+                                    : qpool_off[r] + qend[r] - 1 - q_excl;
+                tpos0[n_mops] = tpool_off[r] + tstart[r] + t_excl;
+                flat_idx[n_mops] = k;
+                n_cols += L;
+                col_off[++n_mops] = n_cols;
+            }
+            if (op != 2) q_excl += L;    // not D -> consumes query
+            if (op != 1) t_excl += L;    // not I -> consumes target
+        }
+    }
+    rec_col_off[n_records] = n_cols;
+    return n_cols;
+}
+
+// Per-record alignment stats in one pass (paf_stats_calc,
+// impl/paf.c:236-260).  out is [n_records, 7] int64:
+//   matches (M and =), mismatches (X), query-insert events, query-delete
+//   events, query-insert bases, query-delete bases, M-only bases (the
+//   view pipeline's kernel-adjustment term).
+void cigar_stats(long long n_records, const unsigned char* ops,
+                 const long long* lens, const long long* off,
+                 long long* out) {
+    for (long long r = 0; r < n_records; ++r) {
+        long long* o = out + r * 7;
+        for (int c = 0; c < 7; ++c) o[c] = 0;
+        for (long long k = off[r]; k < off[r + 1]; ++k) {
+            const long long L = lens[k];
+            switch (ops[k]) {
+                case 0: o[0] += L; o[6] += L; break;   // M
+                case 3: o[0] += L; break;              // =
+                case 4: o[1] += L; break;              // X
+                case 1: o[2] += 1; o[4] += L; break;   // I
+                case 2: o[3] += 1; o[5] += L; break;   // D
+            }
+        }
+    }
+}
+
+// Chunk decomposition over the 2-bit packed pools
+// (ops/tiled.build_packed2_chunk_batch; constants must match tiled.py:
+// w2 = W2 row bytes, pack2_cols = 4*W2 columns per row).  Pass trow=NULL to
+// count chunks only.  Returns the chunk count.
+long long build_packed2_grid(long long n_mops, const long long* lens,
+                             const long long* qpos0, const long long* tpos0,
+                             const unsigned char* rev, const long long* recs,
+                             long long n_records, long long pool_len,
+                             long long w2,
+                             int* trow, int* qwin, signed char* qpar,
+                             short* col_a, short* col_b,
+                             int* rec_chunk_off) {
+    const long long pack2_cols = 4 * w2;
+    const long long rp = (2 * pool_len) / 4 / w2;   // rows per parity pool
+    int logw2 = 0;
+    while ((1LL << logw2) < w2) ++logw2;
+    long long u = 0, cur_rec = 0;
+    for (long long j = 0; j < n_mops; ++j) {
+        const long long L = lens[j];
+        const long long tp = tpos0[j];
+        const long long tpar = tp & 3;
+        const long long base_t = (tp - tpar) >> 2;
+        const long long row_lo = base_t >> logw2;
+        // arithmetic shifts to match the numpy builder's floor semantics
+        // (L=0 makes the numerator -1; C division would truncate to 0)
+        const long long row_hi = (base_t + ((L - 1) >> 2)) >> logw2;
+        if (!trow) { u += row_hi - row_lo + 1; continue; }
+        while (cur_rec <= recs[j]) rec_chunk_off[cur_rec++] = (int)u;
+        const long long qe = rev[j] ? 2 * pool_len - 1 - qpos0[j] : qpos0[j];
+        for (long long prow = row_lo; prow <= row_hi; ++prow, ++u) {
+            const long long c_base = 4 * (prow * w2 - base_t);
+            long long ca = -c_base; if (ca < 0) ca = 0;
+            long long cbv = L - c_base;
+            if (cbv < 0) cbv = 0; else if (cbv > pack2_cols) cbv = pack2_cols;
+            col_a[u] = (short)ca;          // <= 4*w2, fits int16
+            col_b[u] = (short)cbv;
+            trow[u] = (int)(tpar * rp + prow);
+            const long long qj = qe + c_base;
+            const long long qp = qj & 3;
+            long long qw = (qj - qp) >> 2; if (qw < 0) qw = 0;
+            qpar[u] = (signed char)qp;     // 0..3
+            qwin[u] = (int)qw;
+        }
+    }
+    if (trow) {
+        while (cur_rec <= n_records) rec_chunk_off[cur_rec++] = (int)u;
+    }
+    return u;
 }
 
 }  // extern "C"

@@ -305,9 +305,14 @@ TILED_THRESHOLD = 1 << 20  # columns; above this, use the tiled kernel
 FORCE_DEVICE = False
 
 
-def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
+def encode_mismatches(t: PafTable, pool: SequencePool,
+                      n_threads: int | None = None) -> PafTable:
     """paf_encode_mismatches over a whole batch: M runs become =/X runs; all
-    other ops pass through unchanged in place."""
+    other ops pass through unchanged in place.
+
+    ``n_threads`` caps the native extraction's thread count (None = auto);
+    the benchmark uses 1 for its single-threaded reference path.
+    """
     b = _prepare(t, pool)
     if b.n_cols == 0:
         return t
@@ -318,15 +323,34 @@ def encode_mismatches(t: PafTable, pool: SequencePool) -> PafTable:
     # the C pass, and small batches skip device dispatch entirely
     # (docs/PERF_NOTES.md).  The device kernels remain the fallback without
     # a native toolchain: tiled above TILED_THRESHOLD, naive below.
-    res = None
     if not FORCE_DEVICE:
         from paffy_tpu import native
-        res = native.column_encode_runs(
+        runs_per_mop = native.encode_runs_per_mop(
             pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
-            b.tpos0[: b.n_mops], b.rev[: b.n_mops])
-    if res is not None:
-        starts, match_at_start = res
-    elif b.n_cols >= TILED_THRESHOLD:
+            b.tpos0[: b.n_mops], b.rev[: b.n_mops], n_threads=n_threads)
+        if runs_per_mop is not None:
+            # Direct CSR rebuild: the C fill pass writes each M op's =/X
+            # runs straight into the new op arrays at its destination
+            # offset — no O(runs) searchsorted/add.at middle (that numpy
+            # rebuild measured ~3x the extraction itself at 27M runs).
+            contrib = np.ones(len(t.ops), dtype=np.int64)
+            contrib[b.flat_idx] = runs_per_mop
+            out_off_per_op = np.zeros(len(t.ops) + 1, dtype=np.int64)
+            np.cumsum(contrib, out=out_off_per_op[1:])
+            total_out = int(out_off_per_op[-1])
+            new_ops = np.empty(total_out, dtype=np.uint8)
+            new_lens = np.empty(total_out, dtype=np.int64)
+            non_m = t.ops != MATCH
+            new_ops[out_off_per_op[:-1][non_m]] = t.ops[non_m]
+            new_lens[out_off_per_op[:-1][non_m]] = t.lens[non_m]
+            native.encode_runs_fill_cigar(
+                pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+                b.tpos0[: b.n_mops], b.rev[: b.n_mops],
+                out_off_per_op[:-1][b.flat_idx], new_ops, new_lens,
+                n_threads=n_threads)
+            return t.with_cigars(new_ops, new_lens, out_off_per_op[t.off])
+
+    if b.n_cols >= TILED_THRESHOLD:
         from paffy_tpu.ops.tiled import tiled_runs
         starts, match_at_start = tiled_runs(pool.ext, b, len(t))
     else:

@@ -85,7 +85,14 @@ def build_m_column_batch(t: PafTable, qpool_off: np.ndarray, tpool_off: np.ndarr
 
     qpool_off/tpool_off: per-record offset of the record's query/target
     sequence inside the packed pool (see fasta.pack_sequences).
+
+    The native single-pass builder is used when available (measured 10x the
+    numpy path at golden scale); the numpy path below is the no-toolchain
+    fallback and the oracle (test_segments_native_builder_matches).
     """
+    nb = _build_m_column_batch_native(t, qpool_off, tpool_off, col_bucket)
+    if nb is not None:
+        return nb
     ops, lens, off = t.ops, t.lens, t.off
     total = len(ops)
     seg = segment_ids_from_offsets(off, total)
@@ -132,6 +139,41 @@ def build_m_column_batch(t: PafTable, qpool_off: np.ndarray, tpool_off: np.ndarr
         rec_col_off=rec_col_off,
         flat_idx=m,
         n_mops=n_mops, n_cols=n_cols, n_cols_pad=col_pad)
+
+
+def _build_m_column_batch_native(t: PafTable, qpool_off, tpool_off,
+                                 col_bucket):
+    """Single C pass over the cigar store filling the padded arrays in
+    place; byte-identical to the numpy path."""
+    from paffy_tpu import native
+    if native.get_lib() is None:
+        return None
+    n_mops = int(np.count_nonzero(t.ops == MATCH))
+    mop_pad = bucket_size(max(n_mops, 1))
+    n = len(t)
+    outs = dict(
+        mlens=np.zeros(mop_pad, dtype=np.int64),
+        recs=np.full(mop_pad, max(n - 1, 0), dtype=np.int64),
+        qpos0=np.zeros(mop_pad, dtype=np.int64),
+        tpos0=np.zeros(mop_pad, dtype=np.int64),
+        rev=np.zeros(mop_pad, dtype=np.uint8),
+        col_off=np.zeros(mop_pad + 1, dtype=np.int64),
+        rec_col_off=np.zeros(n + 1, dtype=np.int64),
+        flat_idx=np.zeros(max(n_mops, 1), dtype=np.int64),
+    )
+    n_cols = native.build_mop_batch(
+        n, t.ops, t.lens, t.off, t.strand, t.qstart, t.qend, t.tstart,
+        qpool_off, tpool_off, n_mops, outs)
+    if n_cols is None:
+        return None
+    outs["col_off"][n_mops + 1:] = n_cols
+    return MColumnBatch(
+        lens=outs["mlens"], rec=outs["recs"], qpos0=outs["qpos0"],
+        tpos0=outs["tpos0"], rev=outs["rev"].view(bool),
+        col_off=outs["col_off"], rec_col_off=outs["rec_col_off"],
+        flat_idx=outs["flat_idx"][:n_mops],
+        n_mops=n_mops, n_cols=n_cols,
+        n_cols_pad=col_bucket or bucket_size(max(n_cols, 1)))
 
 
 from functools import partial

@@ -593,7 +593,15 @@ def build_packed2_pools(ext):
 
 def build_packed2_chunk_batch(b: MColumnBatch, n_records: int,
                               pool_len: int) -> PackedChunkBatch:
-    """Chunk decomposition over the 2-bit pools (4*W2 columns per row)."""
+    """Chunk decomposition over the 2-bit pools (4*W2 columns per row).
+
+    Uses the native single-pass builder when available; the numpy path below
+    is the no-toolchain fallback and the oracle
+    (test_tiled_native_grid_matches)."""
+    _require(packed2_addressable(pool_len), "2-bit packed", pool_len)
+    nb = _build_packed2_grid_native(b, n_records, pool_len)
+    if nb is not None:
+        return nb
     lens = b.lens[: b.n_mops].astype(np.int64)
     tpos0 = b.tpos0[: b.n_mops].astype(np.int64)
     qpos0 = b.qpos0[: b.n_mops].astype(np.int64)
@@ -616,14 +624,16 @@ def build_packed2_chunk_batch(b: MColumnBatch, n_records: int,
     prow = row_lo[mop] + c_in_op            # packed row within parity pool
 
     c_base = 4 * (prow * W2 - base_t[mop])  # local column of byte-lane 0
-    col_a = np.maximum(-c_base, 0).astype(np.int32)
-    col_b = np.clip(lens[mop] - c_base, 0, PACK2_COLS).astype(np.int32)
+    # int16/int8 lane metadata (col values <= 4*W2, parity 0..3): halves the
+    # host->device grid upload; the kernel widens to int32 on entry
+    col_a = np.maximum(-c_base, 0).astype(np.int16)
+    col_b = np.clip(lens[mop] - c_base, 0, PACK2_COLS).astype(np.int16)
 
     rp = (2 * pool_len) // 4 // W2          # rows per parity pool
     trow = tpar[mop] * rp + prow
 
     qj = qpos0e[mop] + c_base               # unpacked pos of local column 0
-    qpar = (qj & 3).astype(np.int32)
+    qpar = (qj & 3).astype(np.int8)
     qwin = (qj - qpar) >> 2                 # packed byte offset, own parity
 
     rec_of_mop = b.rec[: b.n_mops]
@@ -632,7 +642,6 @@ def build_packed2_chunk_batch(b: MColumnBatch, n_records: int,
     rec_chunk_off = chunk_off[np.minimum(first_mop, b.n_mops)]
     rec_chunk_off[-1] = u
 
-    _require(packed2_addressable(pool_len), "2-bit packed", pool_len)
     return PackedChunkBatch(
         trow=pad_to(trow.astype(np.int32), u_pad),
         qwin=pad_to(np.maximum(qwin, 0).astype(np.int32), u_pad),
@@ -643,10 +652,42 @@ def build_packed2_chunk_batch(b: MColumnBatch, n_records: int,
         n_chunks=u, n_cols=int(lens.sum()), u_pad=u_pad)
 
 
+def _build_packed2_grid_native(b: MColumnBatch, n_records: int,
+                               pool_len: int) -> PackedChunkBatch | None:
+    from paffy_tpu import native
+    if native.get_lib() is None:
+        return None
+    lens = b.lens[: b.n_mops]
+    qpos0 = b.qpos0[: b.n_mops]
+    tpos0 = b.tpos0[: b.n_mops]
+    rev = b.rev[: b.n_mops]
+    recs = b.rec[: b.n_mops]
+    u = native.build_packed2_grid(lens, qpos0, tpos0, rev, recs, n_records,
+                                  pool_len, W2, None)
+    if u is None:
+        return None
+    u_pad = grid_pad(u)
+    outs = dict(trow=np.zeros(u_pad, dtype=np.int32),
+                qwin=np.zeros(u_pad, dtype=np.int32),
+                qpar=np.zeros(u_pad, dtype=np.int8),
+                col_a=np.zeros(u_pad, dtype=np.int16),
+                col_b=np.zeros(u_pad, dtype=np.int16),
+                rec_chunk_off=np.zeros(n_records + 1, dtype=np.int32))
+    u2 = native.build_packed2_grid(lens, qpos0, tpos0, rev, recs, n_records,
+                                   pool_len, W2, outs)
+    assert u2 == u
+    return PackedChunkBatch(n_chunks=u, n_cols=int(lens.sum()), u_pad=u_pad,
+                            **outs)
+
+
 @jax.jit
 def _packed2_match_counts(packed2d, pviews, trow, qwin, qpar, col_a, col_b,
                           rec_chunk_off):
     """Per-record (match, mismatch) counts over the 2-bit chunk grid."""
+    # lane metadata ships narrow (int8/int16) and widens on device
+    qpar = qpar.astype(jnp.int32)
+    col_a = col_a.astype(jnp.int32)
+    col_b = col_b.astype(jnp.int32)
     tb = packed2d[trow]                                   # (U, W2) u8
     r_v = pviews.shape[0] // (4 * N_PHASE2)
     c = (qwin & (W2 - 1)) >> LOG_STEP2

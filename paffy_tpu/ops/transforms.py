@@ -45,12 +45,35 @@ def aligned_base_counts(t: PafTable) -> np.ndarray:
     return segment_sums_by_offsets(vals, t.off)
 
 
+def stats_calc_with_m(t: PafTable) -> tuple[dict[str, np.ndarray], np.ndarray]:
+    """Per-record alignment stats plus M-only base counts (the view
+    pipeline's kernel-adjustment term), in one native pass when available
+    (the 6-sum numpy path below costs ~24 array passes over the op store —
+    measured ~1s at 5.9M ops)."""
+    from paffy_tpu import native
+    out = native.cigar_stats(len(t), t.ops, t.lens, t.off)
+    if out is not None:
+        keys = ("matches", "mismatches", "query_inserts", "query_deletes",
+                "query_insert_bases", "query_delete_bases")
+        return ({k: np.ascontiguousarray(out[:, i])
+                 for i, k in enumerate(keys)}, np.ascontiguousarray(out[:, 6]))
+    stats = _stats_calc_numpy(t)
+    m_only = segment_sums_by_offsets(
+        np.where(t.ops == MATCH, t.lens, 0), t.off)
+    return stats, m_only
+
+
 def stats_calc(t: PafTable) -> dict[str, np.ndarray]:
     """Per-record alignment stats (paf_stats_calc, impl/paf.c:236-260).
 
     matches counts M and = runs; mismatches counts X; insert/delete report
     both event counts and base counts.
     """
+    return stats_calc_with_m(t)[0]
+
+
+def _stats_calc_numpy(t: PafTable) -> dict[str, np.ndarray]:
+    """No-toolchain fallback and oracle for the native cigar_stats pass."""
     is_m = (t.ops == MATCH) | (t.ops == SEQ_MATCH)
     is_x = t.ops == SEQ_MISMATCH
     is_i = t.ops == QUERY_INSERT

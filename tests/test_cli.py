@@ -59,6 +59,34 @@ def test_view_per_record_and_alignment(workload, tmp_path):
     assert "*" in text
 
 
+def test_view_native_line_format_matches_python(workload):
+    """The native batch formatter must be byte-identical to the per-record
+    Python path, including the NaN identity cases (0 aligned bases)."""
+    import io
+    from paffy_tpu import native
+    from paffy_tpu.commands.view import pretty_print_record
+    from paffy_tpu.ops.transforms import stats_calc
+    t = read(workload["paf"])
+    stats = {k: v.copy() for k, v in stats_calc(t).items()}
+    # force NaN identity / identity-with-gaps rows
+    stats["matches"][0] = 0
+    stats["mismatches"][0] = 0
+    stats["query_insert_bases"][0] = 0
+    stats["query_delete_bases"][0] = 0
+    buf = io.StringIO()
+    for i in range(len(t)):
+        pretty_print_record(t, i, stats, buf, False, None)
+    vals = np.column_stack([
+        t.qstart, t.qend, t.tstart, t.tend, t.strand.astype(np.int64),
+        t.score, stats["matches"], stats["mismatches"],
+        stats["query_inserts"], stats["query_deletes"],
+        stats["query_insert_bases"], stats["query_delete_bases"]])
+    blob = native.view_stats_lines(t.qname, t.tname, vals)
+    if blob is None:
+        pytest.skip("native toolchain unavailable")
+    assert blob.decode("latin-1") == buf.getvalue()
+
+
 def test_view_identity_threshold_fails(workload, capsys):
     rc = run("paffy", "view", "-i", workload["paf"], workload["fasta"],
              "-s", "-t", "-u", "0.9999")

@@ -1,0 +1,109 @@
+"""Native batch-builder oracles: the C single-pass builders must produce
+arrays byte-identical to the numpy fallback paths they replace."""
+
+import numpy as np
+import pytest
+
+from paffy_tpu import native
+from paffy_tpu.core import pafio
+from paffy_tpu.ops import segments, tiled
+from paffy_tpu.ops.mismatch import SequencePool
+from synthdata import make_workload
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def workload():
+    seqs, lines = make_workload(seed=3, length=120_000, n_windows=40,
+                                window=9_000, step=2_700)
+    t = pafio.parse_paf_text("\n".join(lines) + "\n")
+    pool = SequencePool(seqs)
+    qoff = pool.offsets_for(t.qname, "query")
+    toff = pool.offsets_for(t.tname, "target")
+    return t, pool, qoff, toff
+
+
+def _numpy_only(monkeypatch):
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+
+
+def test_mop_batch_native_matches_numpy(workload, monkeypatch):
+    t, pool, qoff, toff = workload
+    nat = segments.build_m_column_batch(t, qoff, toff)
+    _numpy_only(monkeypatch)
+    ref = segments.build_m_column_batch(t, qoff, toff)
+    assert nat.n_mops == ref.n_mops and nat.n_cols == ref.n_cols
+    assert nat.n_cols_pad == ref.n_cols_pad
+    for f in ("lens", "rec", "qpos0", "tpos0", "rev", "col_off",
+              "rec_col_off", "flat_idx"):
+        a, b = getattr(nat, f), getattr(ref, f)
+        assert a.dtype == b.dtype or f == "rev", f
+        assert np.array_equal(a, b), f
+
+
+def test_mop_batch_native_empty_and_cigarless(monkeypatch):
+    """Records with no cigar and empty tables go through both paths."""
+    text = ("q\t100\t0\t50\t+\tt\t200\t10\t60\t50\t50\t60\n"
+            "q\t100\t0\t50\t-\tt\t200\t10\t60\t50\t50\t60\tcg:Z:20M5I25M\n")
+    t = pafio.parse_paf_text(text)
+    qoff = np.zeros(len(t), dtype=np.int64)
+    toff = np.full(len(t), 100, dtype=np.int64)
+    nat = segments.build_m_column_batch(t, qoff, toff)
+    _numpy_only(monkeypatch)
+    ref = segments.build_m_column_batch(t, qoff, toff)
+    for f in ("lens", "rec", "qpos0", "tpos0", "rev", "col_off",
+              "rec_col_off", "flat_idx"):
+        assert np.array_equal(getattr(nat, f), getattr(ref, f)), f
+
+
+def test_packed2_grid_native_matches_numpy(workload, monkeypatch):
+    t, pool, qoff, toff = workload
+    b = segments.build_m_column_batch(t, qoff, toff)
+    pool_len = pool.pool.shape[0]
+    nat = tiled.build_packed2_chunk_batch(b, len(t), pool_len)
+    _numpy_only(monkeypatch)
+    ref = tiled.build_packed2_chunk_batch(b, len(t), pool_len)
+    assert nat.n_chunks == ref.n_chunks and nat.u_pad == ref.u_pad
+    assert nat.n_cols == ref.n_cols
+    for f in ("trow", "qwin", "qpar", "col_a", "col_b", "rec_chunk_off"):
+        a, b_ = getattr(nat, f), getattr(ref, f)
+        assert a.dtype == b_.dtype, f
+        assert np.array_equal(a, b_), f
+
+
+def test_cigar_stats_native_matches_numpy(workload):
+    t, pool, qoff, toff = workload
+    from paffy_tpu.ops import transforms
+    from paffy_tpu.core.segsum import segment_sums_by_offsets
+    from paffy_tpu.ops.mismatch import encode_mismatches
+    te = encode_mismatches(t, pool)   # get =/X/I/D mix, not just M
+    for table in (t, te):
+        stats, m_only = transforms.stats_calc_with_m(table)
+        ref = transforms._stats_calc_numpy(table)
+        for k in ref:
+            assert np.array_equal(stats[k], ref[k]), k
+        ref_m = segment_sums_by_offsets(
+            np.where(table.ops == 0, table.lens, 0), table.off)
+        assert np.array_equal(m_only, ref_m)
+
+
+def test_packed2_grid_zero_length_op(monkeypatch):
+    """A 0M op contributes no chunks in either builder (the numpy path's
+    (L-1)>>2 floor semantics are replicated with arithmetic shifts in C)."""
+    text = ("q\t1000\t0\t100\t+\tt\t1000\t0\t100\t100\t100\t60"
+            "\tcg:Z:0M50M0M50M\n")
+    t = pafio.parse_paf_text(text)
+    seqs = {"q": "A" * 1000, "t": "C" * 1000}
+    pool = SequencePool(seqs)
+    qoff = pool.offsets_for(t.qname, "query")
+    toff = pool.offsets_for(t.tname, "target")
+    b = segments.build_m_column_batch(t, qoff, toff)
+    pool_len = pool.pool.shape[0]
+    nat = tiled.build_packed2_chunk_batch(b, len(t), pool_len)
+    _numpy_only(monkeypatch)
+    ref = tiled.build_packed2_chunk_batch(b, len(t), pool_len)
+    assert nat.n_chunks == ref.n_chunks
+    for f in ("trow", "qwin", "qpar", "col_a", "col_b", "rec_chunk_off"):
+        assert np.array_equal(getattr(nat, f), getattr(ref, f)), f
