@@ -82,7 +82,7 @@ class DedupeState:
     def __init__(self, check_inverse: bool):
         self.check_inverse = check_inverse
         self.name_id: dict[str, int] = {}
-        self.seen: set = set()
+        self.seen = None   # sorted structured array of kept keys (all batches)
 
     def process(self, t) -> np.ndarray:
         n = len(t)
@@ -105,6 +105,14 @@ class DedupeState:
         first = np.full(len(uniq), n, dtype=np.int64)
         np.minimum.at(first, inv, np.arange(n))
         dup = first[inv] < np.arange(n)
+        def probe_seen(keys):
+            # vectorized membership in the sorted cross-batch key set
+            if self.seen is None or len(self.seen) == 0:
+                return np.zeros(len(keys), dtype=bool)
+            pos = np.clip(np.searchsorted(self.seen, keys), 0,
+                          len(self.seen) - 1)
+            return self.seen[pos] == keys
+
         if self.check_inverse:
             ivoid = as_void([tid, qid, strand, t.tstart, t.tend,
                              t.qstart, t.qend])
@@ -112,13 +120,11 @@ class DedupeState:
             pos_c = np.clip(pos, 0, len(uniq) - 1)
             hit = uniq[pos_c] == ivoid
             dup |= hit & (first[pos_c] < np.arange(n))
-            if self.seen:
-                dup |= np.array([v.tobytes() in self.seen for v in ivoid],
-                                dtype=bool)
-        if self.seen:
-            dup |= np.array([v.tobytes() in self.seen for v in void],
-                            dtype=bool)
-        self.seen.update(v.tobytes() for v in void[~dup])
+            dup |= probe_seen(ivoid)
+        dup |= probe_seen(void)
+        new = void[~dup]
+        self.seen = np.sort(new) if self.seen is None else \
+            np.sort(np.concatenate([self.seen, new]))
         return ~dup
 
 
