@@ -55,87 +55,208 @@ from paffy_tpu.ops.segments import bucket_size
 
 _NEG = np.int64(-(1 << 62))
 
-DEVICE_GROUP_THRESHOLD = 768  # below this, the numpy sweep is faster than dispatch
+# Group size at which the device lax.scan DP takes over from the host
+# windowed sweep.  With candidate windowing the host sweep is O(sum of
+# window sizes) — 3.6 s for a 100k-record single group — while a fresh
+# device scan pays a per-(n_pad, w_pad) compile that dwarfs that (minutes
+# over the axon tunnel for 64k-step scans).  The device DP therefore ships
+# OFF by default for the single-group path; it earns its keep batched over
+# many groups at once (chain_groups_device, the multichip pipeline route),
+# where one compile serves [G, n_pad] groups in parallel.
+DEVICE_GROUP_THRESHOLD = 1 << 40
+
+
+def _window_bounds(qs, qe, max_gap):
+    """Candidate windows in qend-sorted order.
+
+    A predecessor j of record i must satisfy qend_j in
+    [qstart_i - max_gap, qstart_i] (the reference's query-gap skip + evict
+    rules, impl/chaining.c:174-183) — a contiguous slice of the records
+    sorted by qend.  Everything below the slice is permanently evicted for
+    all later records (qstart is non-decreasing), exactly the reference's
+    eviction argument.
+
+    Returns (qe_order, lo, hi): the qend-sort permutation and, per record,
+    the [lo, hi) candidate slice of that order.
+    """
+    n = len(qs)
+    qe_order = np.lexsort((np.arange(n), qe))
+    qes = qe[qe_order]
+    lo = np.searchsorted(qes, qs - max_gap, side="left")
+    hi = np.searchsorted(qes, qs, side="right")
+    return qe_order, lo, np.maximum(hi, lo)
 
 
 def _dp_numpy(qs, qe, ts, te, score, gap_open, gap_extend, max_gap):
-    """O(N^2) chain DP over one (qname,tname,strand) group in processing
-    order.  Returns (chain_score, pred) with pred -1 for chain starts."""
+    """Windowed chain DP over one (qname,tname,strand) group in processing
+    order: O(sum of window sizes) instead of O(N^2).  Returns
+    (chain_score, pred) with pred -1 for chain starts."""
     n = len(qs)
-    cs = score.copy()
+    cs = score.astype(np.int64).copy()
     pred = np.full(n, -1, dtype=np.int64)
-    for i in range(1, n):
-        qgap = qs[i] - qe[:i]
-        tgap = ts[i] - te[:i]
-        ok = (qgap >= 0) & (tgap >= 0) & (qgap <= max_gap) & (tgap <= max_gap)
-        if not ok.any():
+    qe_order, lo, hi = _window_bounds(qs, qe, max_gap)
+    for i in range(n):
+        c = qe_order[lo[i]: hi[i]]
+        c = c[c < i]                    # processed before i
+        if len(c) == 0:
             continue
+        # window guarantees 0 <= qgap <= max_gap
+        qgap = qs[i] - qe[c]
+        tgap = ts[i] - te[c]
+        ok = (tgap >= 0) & (tgap <= max_gap)
         g = np.where(qgap + tgap == 0, 0, gap_open + gap_extend * (qgap + tgap))
         ok &= g < score[i]
         if not ok.any():
             continue
-        val = score[i] + cs[:i] - g
-        val = np.where(ok, val, _NEG)
+        val = np.where(ok, score[i] + cs[c] - g, _NEG)
         best = val.max()
         if best <= score[i]:
             continue
         # tiebreak: largest (target_end, query_end, index) among best values
-        cand = np.nonzero(val == best)[0]
+        cand = c[val == best]
         j = cand[np.lexsort((cand, qe[cand], te[cand]))[-1]]
         cs[i] = best
         pred[i] = j
     return cs, pred
 
 
-@partial(jax.jit, static_argnames=("n_pad",))
-def _dp_scan(qs, qe, ts, te, score, valid, gap_open, gap_extend, max_gap, n_pad):
-    """Device chain DP: scan over records, vector candidate mask per step."""
-    idx = jnp.arange(n_pad, dtype=jnp.int64)
+@partial(jax.jit, static_argnames=("n_pad", "w_pad"))
+def _dp_scan(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos,
+             gap_open, gap_extend, max_gap, n_pad, w_pad):
+    """Device chain DP: scan over records in processing order; each step
+    reads one w_pad-wide dynamic slice of the qend-sorted candidate arrays
+    (the window of _window_bounds) instead of the whole group.
 
-    def step(cs, i):
-        before = (idx < i) & valid
-        qgap = qs[i] - qe
-        tgap = ts[i] - te
-        ok = before & (qgap >= 0) & (tgap >= 0) & (qgap <= max_gap) & (tgap <= max_gap)
+    qs/ts/score are [n_pad] in processing order; qe_s/te_s/idx_s are the
+    qend-sorted coordinate/processing-index arrays padded to n_pad + w_pad;
+    lo/w/pos are per-step window start, window width, and the record's own
+    slot in qend order (where its chain score is scattered).
+    """
+    lane = jnp.arange(w_pad, dtype=jnp.int64)
+
+    def step(cs_sorted, x):
+        i, lo_i, w_i, pos_i = x
+        qe_w = jax.lax.dynamic_slice(qe_s, (lo_i,), (w_pad,))
+        te_w = jax.lax.dynamic_slice(te_s, (lo_i,), (w_pad,))
+        idx_w = jax.lax.dynamic_slice(idx_s, (lo_i,), (w_pad,))
+        cs_w = jax.lax.dynamic_slice(cs_sorted, (lo_i,), (w_pad,))
+        tgap = ts[i] - te_w
+        ok = ((lane < w_i) & (idx_w < i)        # in window, processed before
+              & (tgap >= 0) & (tgap <= max_gap))
+        qgap = qs[i] - qe_w
         g = jnp.where(qgap + tgap == 0, 0, gap_open + gap_extend * (qgap + tgap))
         ok &= g < score[i]
-        val = jnp.where(ok, score[i] + cs - g, _NEG)
+        val = jnp.where(ok, score[i] + cs_w - g, _NEG)
         best = jnp.max(val)
         tie = val == best
         # argmax of (te, qe, idx) among ties — nested reductions
-        t_best = jnp.max(jnp.where(tie, te, _NEG))
-        tie &= te == t_best
-        q_best = jnp.max(jnp.where(tie, qe, _NEG))
-        tie &= qe == q_best
-        j = jnp.max(jnp.where(tie, idx, -1))
+        t_best = jnp.max(jnp.where(tie, te_w, _NEG))
+        tie &= te_w == t_best
+        q_best = jnp.max(jnp.where(tie, qe_w, _NEG))
+        tie &= qe_w == q_best
+        j = jnp.max(jnp.where(tie, idx_w, -1))
         adopt = best > score[i]
-        new_cs_i = jnp.where(adopt, best, score[i])
+        cs_i = jnp.where(adopt, best, score[i])
         pred_i = jnp.where(adopt, j, -1)
-        cs = cs.at[i].set(new_cs_i)
-        return cs, pred_i
+        cs_sorted = cs_sorted.at[pos_i].set(cs_i, mode="drop")
+        return cs_sorted, (cs_i, pred_i)
 
-    cs0 = jnp.where(valid, score, _NEG)
-    cs, preds = jax.lax.scan(step, cs0, jnp.arange(n_pad, dtype=jnp.int64))
-    return cs, preds
+    cs0 = jnp.full(n_pad + w_pad, _NEG, dtype=jnp.int64)
+    steps = (jnp.arange(n_pad, dtype=jnp.int64), lo, w, pos)
+    _, (cs, pred) = jax.lax.scan(step, cs0, steps)
+    return cs, pred
 
 
 def _group_dp(qs, qe, ts, te, score, gap_open, gap_extend, max_gap):
     n = len(qs)
     if n < DEVICE_GROUP_THRESHOLD:
         return _dp_numpy(qs, qe, ts, te, score, gap_open, gap_extend, max_gap)
+    qe_order, lo, hi = _window_bounds(qs, qe, max_gap)
     n_pad = bucket_size(n)
+    w_pad = bucket_size(max(int((hi - lo).max(initial=0)), 1), minimum=8)
+    pos = np.full(n_pad, n_pad + w_pad, dtype=np.int64)   # pads: drop scatter
+    pos[qe_order] = np.arange(n)
 
-    def pad(a):
-        out = np.zeros(n_pad, dtype=np.int64)
-        out[:n] = a
+    def pad(a, size, fill=0):
+        out = np.full(size, fill, dtype=np.int64)
+        out[: len(a)] = a
         return jnp.asarray(out)
 
-    valid = np.zeros(n_pad, dtype=bool)
-    valid[:n] = True
-    cs, pred = _dp_scan(pad(qs), pad(qe), pad(ts), pad(te), pad(score),
-                        jnp.asarray(valid), np.int64(gap_open),
-                        np.int64(gap_extend), np.int64(max_gap), n_pad=n_pad)
+    cs, pred = _dp_scan(
+        pad(qs, n_pad), pad(ts, n_pad), pad(score, n_pad),
+        pad(qe[qe_order], n_pad + w_pad), pad(te[qe_order], n_pad + w_pad),
+        pad(qe_order, n_pad + w_pad, fill=n_pad),   # pads never "before"
+        pad(lo, n_pad), pad(hi - lo, n_pad), jnp.asarray(pos),
+        np.int64(gap_open), np.int64(gap_extend), np.int64(max_gap),
+        n_pad=n_pad, w_pad=w_pad)
     return np.asarray(cs)[:n], np.asarray(pred)[:n]
+
+
+@partial(jax.jit, static_argnames=("n_pad", "w_pad"))
+def _dp_scan_groups(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos,
+                    gap_open, gap_extend, max_gap, n_pad, w_pad):
+    """Batched device chain DP: the windowed scan vmapped over a leading
+    group axis ([G, n_pad] / [G, n_pad + w_pad] arrays).  One compile serves
+    every group of the same shape bucket; the group axis is the natural
+    ``data`` sharding axis of the multichip pipeline."""
+    def one(qs1, ts1, score1, qe1, te1, idx1, lo1, w1, pos1):
+        return _dp_scan.__wrapped__(qs1, ts1, score1, qe1, te1, idx1,
+                                    lo1, w1, pos1, gap_open, gap_extend,
+                                    max_gap, n_pad=n_pad, w_pad=w_pad)
+    return jax.vmap(one)(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos)
+
+
+def chain_groups_device(groups, gap_open, gap_extend, max_gap):
+    """Run the chain DP for many groups in one batched device call.
+
+    ``groups`` is a list of (qs, qe, ts, te, score) int64 arrays (one tuple
+    per (qname,tname) group, records in processing order).  Returns a list
+    of (chain_score, pred) matching _dp_numpy exactly (cross-checked in
+    tests/test_chain.py).
+    """
+    if not groups:
+        return []
+    n_pad = bucket_size(max(len(g[0]) for g in groups))
+    all_lo, all_w, all_orders = [], [], []
+    for qs, qe, ts, te, score in groups:
+        qe_order, lo, hi = _window_bounds(qs, qe, max_gap)
+        all_orders.append(qe_order)
+        all_lo.append(lo)
+        all_w.append(hi - lo)
+    w_pad = bucket_size(
+        max(int(w.max(initial=0)) for w in all_w) or 1, minimum=8)
+
+    g_count = len(groups)
+    qs_b = np.zeros((g_count, n_pad), dtype=np.int64)
+    ts_b = np.zeros((g_count, n_pad), dtype=np.int64)
+    sc_b = np.zeros((g_count, n_pad), dtype=np.int64)
+    qe_s = np.zeros((g_count, n_pad + w_pad), dtype=np.int64)
+    te_s = np.zeros((g_count, n_pad + w_pad), dtype=np.int64)
+    idx_s = np.full((g_count, n_pad + w_pad), n_pad, dtype=np.int64)
+    lo_b = np.zeros((g_count, n_pad), dtype=np.int64)
+    w_b = np.zeros((g_count, n_pad), dtype=np.int64)
+    pos_b = np.full((g_count, n_pad), n_pad + w_pad, dtype=np.int64)
+    for gi, (qs, qe, ts, te, score) in enumerate(groups):
+        n = len(qs)
+        qe_order = all_orders[gi]
+        qs_b[gi, :n] = qs
+        ts_b[gi, :n] = ts
+        sc_b[gi, :n] = score
+        qe_s[gi, :n] = qe[qe_order]
+        te_s[gi, :n] = te[qe_order]
+        idx_s[gi, :n] = qe_order
+        lo_b[gi, :n] = all_lo[gi]
+        w_b[gi, :n] = all_w[gi]
+        pos_b[gi][qe_order] = np.arange(n)
+    cs, pred = _dp_scan_groups(
+        *map(jnp.asarray, (qs_b, ts_b, sc_b, qe_s, te_s, idx_s,
+                           lo_b, w_b, pos_b)),
+        np.int64(gap_open), np.int64(gap_extend), np.int64(max_gap),
+        n_pad=n_pad, w_pad=w_pad)
+    cs = np.asarray(cs)
+    pred = np.asarray(pred)
+    return [(cs[gi, : len(g[0])], pred[gi, : len(g[0])])
+            for gi, g in enumerate(groups)]
 
 
 def _gap_cost(qgap, tgap, gap_open, gap_extend):

@@ -10,14 +10,23 @@ The sweep is inherently sequential across records (counts mutate between
 records) but fully parallel within a record — exactly the shape of a
 ``lax.scan`` whose carry is the coverage array in HBM:
 
-  carry  = one int32 count array over the concatenation of all query
-           sequences (host assigns each name a base offset)
+  carry  = one uint16 count array (the reference's SequenceCountArray dtype,
+           inc/paf.h:218) over a SEGMENT of query sequences
   step i = dynamic-slice the record's span window, build the record's
            aligned-base mask from its run intervals (scatter +/-1, cumsum),
-           add, histogram the masked counts, take the median, write back.
+           add, binary-search the masked-count median, write back.
+
+Memory model: records only interact through same-sequence counts, so distinct
+query sequences commute and the coverage space is bin-packed into carry
+SEGMENTS of at most TILE_SEGMENT_BASES (2 bytes/base on device) — one scan per
+segment, all padded to one shared shape (one compile).  A sequence longer
+than the segment target gets its own segment sized to the sequence — the same
+footprint the reference's per-sequence calloc pays (impl/paf.c:675-688).
 
 Every step is O(span-bucket) vector work; XLA fuses mask-build + add +
-histogram into a handful of HBM passes.
+histogram into a handful of HBM passes.  Batches whose [N, K] run-interval
+tensor would blow up on one pathological record (K > TILE_K_CAP runs) route
+to an exact host sweep instead.
 """
 
 from __future__ import annotations
@@ -32,6 +41,9 @@ from paffy_tpu.core.model import PafTable
 from paffy_tpu.ops.coverage import match_intervals, SATURATION, EMPTY_TILE_LEVEL
 from paffy_tpu.ops.segments import bucket_size
 
+TILE_SEGMENT_BASES = 1 << 26   # carry bin target: 64M bases = 128 MB uint16
+TILE_K_CAP = 2048              # device cap on padded runs-per-record
+
 
 def _level_bits(lmax: int) -> int:
     b = 0
@@ -42,15 +54,15 @@ def _level_bits(lmax: int) -> int:
 
 @partial(jax.jit, static_argnames=("span", "lmax", "total"))
 def _tile_scan(starts, iv_start, iv_end, span, lmax, total):
-    """Run the greedy tile sweep.
+    """Run the greedy tile sweep over one coverage segment.
 
-    starts:   int64 [N]       global base offset of each record's span window
+    starts:   int64 [N]       segment-local base offset of each record's window
     iv_start: int64 [N, K]    run starts relative to the window (K padded;
                               padding marked by iv_start == iv_end)
     iv_end:   int64 [N, K]
     Returns tile levels int64 [N].
     """
-    counts0 = jnp.zeros(total + span, dtype=jnp.int32)
+    counts0 = jnp.zeros(total + span, dtype=jnp.uint16)
 
     def step(counts, x):
         start, ivs, ive = x
@@ -60,9 +72,11 @@ def _tile_scan(starts, iv_start, iv_end, span, lmax, total):
         ones = jnp.ones(ivs.shape[0], dtype=jnp.int32)
         diff = diff.at[ivs].add(ones, mode="drop")
         diff = diff.at[ive].add(-ones, mode="drop")
-        mask = jnp.cumsum(diff)[:span]
-        new_window = jnp.minimum(window + mask, SATURATION)
-        matches = jnp.sum(mask.astype(jnp.int64))
+        mask = jnp.cumsum(diff, dtype=jnp.int32)[:span]
+        new_window = jnp.minimum(
+            window + mask.astype(jnp.uint16),
+            jnp.uint16(SATURATION))
+        matches = jnp.sum(mask, dtype=jnp.int32)
         # median: smallest level L with |{masked bases with count <= L}| >=
         # matches/2.0 (impl/paf_tile.c:81-89, float compare as in C).
         # Binary search over the level range — a scatter histogram over the
@@ -71,23 +85,86 @@ def _tile_scan(starts, iv_start, iv_end, span, lmax, total):
         mask_b = mask > 0
 
         def probe(L):
-            return jnp.sum((mask_b & (new_window <= L)).astype(jnp.int64))
+            return jnp.sum((mask_b & (new_window <= L)).astype(jnp.int32),
+                           dtype=jnp.int32)
 
         def bisect(carry, bit):
             lo = carry
-            mid = lo + jnp.left_shift(jnp.int64(1), bit)
+            mid = lo + jnp.left_shift(jnp.uint16(1), bit)
             # f(mid-1) < half  ->  median > mid-1  ->  keep the bit
             lo = jnp.where(probe(mid - 1).astype(jnp.float64) < half, mid, lo)
             return lo, None
 
-        bits = jnp.arange(_level_bits(lmax) - 1, -1, -1, dtype=jnp.int64)
-        median, _ = jax.lax.scan(bisect, jnp.int64(0), bits)
-        level = jnp.where(matches == 0, EMPTY_TILE_LEVEL, median)
+        bits = jnp.arange(_level_bits(lmax) - 1, -1, -1, dtype=jnp.uint16)
+        median, _ = jax.lax.scan(bisect, jnp.uint16(0), bits)
+        level = jnp.where(matches == 0, jnp.int64(EMPTY_TILE_LEVEL),
+                          median.astype(jnp.int64))
         counts = jax.lax.dynamic_update_slice(counts, new_window, (start,))
         return counts, level
 
     _, levels = jax.lax.scan(step, counts0, (starts, iv_start, iv_end))
     return levels
+
+
+def _sequence_offsets(t: PafTable):
+    """First-seen (name -> (offset, length)) over the query names, with the
+    offsets assigned within bin-packed coverage segments.
+
+    Returns (seg_of_name, off_in_seg, seg_sizes): dicts keyed by name plus the
+    per-segment total sizes.  Sequences are packed first-fit in first-seen
+    order; a sequence larger than TILE_SEGMENT_BASES gets its own segment.
+    """
+    seg_of: dict[str, int] = {}
+    off_in: dict[str, int] = {}
+    seg_sizes: list[int] = []
+    lengths: dict[str, int] = {}
+    n = len(t)
+    for i in range(n):
+        nm = t.qname[i]
+        ln = int(t.qlen[i])
+        if nm in seg_of:
+            if lengths[nm] != ln:
+                raise ValueError(f"query {nm!r} has inconsistent lengths")
+            continue
+        lengths[nm] = ln
+        if seg_sizes and seg_sizes[-1] + ln <= TILE_SEGMENT_BASES:
+            s = len(seg_sizes) - 1
+        else:
+            s = len(seg_sizes)
+            seg_sizes.append(0)
+        seg_of[nm] = s
+        off_in[nm] = seg_sizes[s]
+        seg_sizes[s] += ln
+    return seg_of, off_in, seg_sizes
+
+
+def _pack_intervals(sub: np.ndarray, n: int, rec, istart, iend, qstart,
+                    span_b, k_b):
+    """[N_sub, K] relative run-interval tensors for the records ``sub``
+    (global indices into the n-record batch, in processing order).  Padding
+    entries have start == end == span_b (scatter-dropped in the kernel)."""
+    n_sub = len(sub)
+    iv_s = np.full((n_sub, k_b), span_b, dtype=np.int64)
+    iv_e = np.full((n_sub, k_b), span_b, dtype=np.int64)
+    if len(rec) == 0 or n_sub == 0:
+        return iv_s, iv_e
+    rank = np.full(n, -1, dtype=np.int64)
+    rank[sub] = np.arange(n_sub)
+    rr = rank[rec]
+    keep = rr >= 0
+    rr = rr[keep]
+    rel_s = (istart - qstart[rec])[keep]
+    rel_e = (iend - qstart[rec])[keep]
+    # slot index of each run within its record (rec is op-ordered, so runs of
+    # one record are contiguous and in order)
+    srt = np.argsort(rr, kind="stable")
+    rr_s = rr[srt]
+    first = np.searchsorted(rr_s, rr_s, side="left")
+    slot = np.empty(len(rr), dtype=np.int64)
+    slot[srt] = np.arange(len(rr)) - first
+    iv_s[rr, slot] = rel_s
+    iv_e[rr, slot] = rel_e
+    return iv_s, iv_e
 
 
 def assign_tile_levels(t: PafTable, order: np.ndarray) -> np.ndarray:
@@ -100,53 +177,82 @@ def assign_tile_levels(t: PafTable, order: np.ndarray) -> np.ndarray:
     if n == 0:
         return levels
 
-    # global query coordinate space: one offset per distinct query name
-    offsets: dict[str, int] = {}
-    lengths: dict[str, int] = {}
-    total = 0
-    for i in range(n):
-        nm = t.qname[i]
-        if nm not in offsets:
-            offsets[nm] = total
-            lengths[nm] = int(t.qlen[i])
-            total += int(t.qlen[i])
-        elif lengths[nm] != int(t.qlen[i]):
-            raise ValueError(f"query {nm!r} has inconsistent lengths")
-
     rec, istart, iend = match_intervals(t)
-    # order the records and their runs by the processing order
-    rank = np.empty(n, dtype=np.int64)
-    rank[order] = np.arange(n)
-
-    span = int(np.max(t.qend - t.qstart)) if n else 1
-    span_b = bucket_size(max(span, 1), minimum=128)
     runs_per_rec = np.zeros(n, dtype=np.int64)
     np.add.at(runs_per_rec, rec, 1)
     k_b = bucket_size(max(int(runs_per_rec.max(initial=0)), 1), minimum=8)
+    if k_b > TILE_K_CAP:
+        # pathological runs-per-record would inflate every [N, K] row —
+        # exact host sweep instead (same semantics, measured vs oracle)
+        return _assign_tile_levels_host(t, order, rec, istart, iend)
 
-    qoff = np.array([offsets[t.qname[i]] for i in range(n)], dtype=np.int64)
-    starts = (qoff + t.qstart)[order]
+    seg_of, off_in, seg_sizes = _sequence_offsets(t)
+    span = int(np.max(t.qend - t.qstart)) if n else 1
+    span_b = bucket_size(max(span, 1), minimum=128)
+    # one shared compile: every segment scan uses the maximum segment size,
+    # rounded linearly (1M steps) — power-of-two bucketing would double the
+    # carry for a just-over-a-power segment
+    total_b = max(-(-max(seg_sizes) // (1 << 20)) * (1 << 20), 1 << 16)
 
-    # pack run intervals into [N, K] (relative to each record's window);
-    # padding entries have start == end == span_b (scatter-dropped)
-    iv_s = np.full((n, k_b), span_b, dtype=np.int64)
-    iv_e = np.full((n, k_b), span_b, dtype=np.int64)
-    if len(rec):
-        rr = rank[rec]
-        order_in_rec = np.zeros(len(rec), dtype=np.int64)
-        srt = np.argsort(rr, kind="stable")
-        rr_s = rr[srt]
-        first = np.searchsorted(rr_s, rr_s, side="left")
-        order_in_rec[srt] = np.arange(len(rec)) - first
-        rel_s = istart - t.qstart[rec]
-        rel_e = iend - t.qstart[rec]
-        iv_s[rr, order_in_rec] = rel_s
-        iv_e[rr, order_in_rec] = rel_e
-
+    seg_of_rec = np.array([seg_of[t.qname[i]] for i in range(n)],
+                          dtype=np.int64)
+    qoff = np.array([off_in[t.qname[i]] for i in range(n)], dtype=np.int64)
+    starts_all = qoff + t.qstart
     lmax = min(bucket_size(n + 2, minimum=64), 32768)
-    lv = _tile_scan(jnp.asarray(starts), jnp.asarray(iv_s), jnp.asarray(iv_e),
-                    span=span_b, lmax=lmax, total=total)
-    levels[order] = np.asarray(lv)
+
+    for s in range(len(seg_sizes)):
+        sub = order[seg_of_rec[order] == s]
+        if len(sub) == 0:
+            continue
+        iv_s, iv_e = _pack_intervals(sub, n, rec, istart, iend, t.qstart,
+                                     span_b, k_b)
+        lv = _tile_scan(jnp.asarray(starts_all[sub]), jnp.asarray(iv_s),
+                        jnp.asarray(iv_e), span=span_b, lmax=lmax,
+                        total=total_b)
+        levels[sub] = np.asarray(lv)
+    return levels
+
+
+def _assign_tile_levels_host(t: PafTable, order: np.ndarray,
+                             rec, istart, iend) -> np.ndarray:
+    """Exact host sweep (vectorized per record) — the fallback for batches
+    whose padded runs-per-record exceed TILE_K_CAP.
+
+    Counts are stored saturated (uint16, as the reference does); the median
+    is the (total+1)//2-th smallest masked count, equal to the smallest L
+    with |{count <= L}| >= total/2.0 for integer counts."""
+    n = len(t)
+    levels = np.full(n, EMPTY_TILE_LEVEL, dtype=np.int64)
+    counts: dict[str, np.ndarray] = {}
+    lengths: dict[str, int] = {}
+    run_off = np.searchsorted(rec, np.arange(n + 1))
+    for i in order:
+        i = int(i)
+        nm = t.qname[i]
+        arr = counts.get(nm)
+        if arr is None:
+            arr = counts[nm] = np.zeros(int(t.qlen[i]), dtype=np.uint16)
+            lengths[nm] = int(t.qlen[i])
+        elif lengths[nm] != int(t.qlen[i]):
+            raise ValueError(f"query {nm!r} has inconsistent lengths")
+        lo, hi = run_off[i], run_off[i + 1]
+        if lo == hi:
+            continue
+        qs, qe = int(t.qstart[i]), int(t.qend[i])
+        span = qe - qs
+        diff = np.zeros(span + 1, dtype=np.int32)
+        np.add.at(diff, istart[lo:hi] - qs, 1)
+        np.add.at(diff, iend[lo:hi] - qs, -1)
+        mask = np.cumsum(diff[:span])
+        window = arr[qs:qe]
+        new_window = np.minimum(window + mask.astype(np.uint16),
+                                np.uint16(SATURATION))
+        arr[qs:qe] = new_window
+        vals = new_window[mask > 0]
+        if len(vals) == 0:
+            continue
+        k = (len(vals) + 1) // 2
+        levels[i] = int(np.partition(vals, k - 1)[k - 1])
     return levels
 
 

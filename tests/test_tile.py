@@ -136,6 +136,68 @@ def test_random_against_oracle():
     assert list(got) == list(expect)
 
 
+def test_segmented_carries_match_single_segment(monkeypatch):
+    # force one sequence per segment: identical levels to the packed run
+    import paffy_tpu.ops.tile as tile_mod
+    rng = np.random.default_rng(5)
+    recs = []
+    for i in range(30):
+        qn = f"q{int(rng.integers(0, 4))}"
+        qs = int(rng.integers(0, 400))
+        ln = int(rng.integers(5, 60))
+        recs.append((qn, qs, qs + ln, 100, 100 + ln,
+                     int(rng.integers(0, 500)), None, f"{ln}M"))
+    t = mk(recs)
+    order = tile_sort_order(t)
+    packed = assign_tile_levels(t, order)
+    monkeypatch.setattr(tile_mod, "TILE_SEGMENT_BASES", 1)  # 1 seq/segment
+    split = assign_tile_levels(t, order)
+    assert list(split) == list(packed)
+    assert list(split) == list(_oracle(t, order))
+
+
+def test_k_cap_host_fallback(monkeypatch):
+    # batches over the runs-per-record cap take the host sweep — identical
+    import paffy_tpu.ops.tile as tile_mod
+    rng = np.random.default_rng(7)
+    recs = []
+    for i in range(12):
+        qn = f"q{int(rng.integers(0, 2))}"
+        qs = int(rng.integers(0, 50))
+        parts, q = [], 0
+        for _ in range(int(rng.integers(2, 12))):   # many short runs
+            ln = int(rng.integers(1, 5))
+            if rng.random() < 0.6:
+                parts.append(f"{ln}M"); q += ln
+            else:
+                parts.append(f"{ln}I"); q += ln
+        if not any(p.endswith("M") for p in parts):
+            parts.append("2M"); q += 2
+        recs.append((qn, qs, qs + q, 100, 100 + sum(
+            int(p[:-1]) for p in parts if p.endswith("M")),
+            int(rng.integers(0, 500)), None, "".join(parts)))
+    t = mk(recs)
+    order = tile_sort_order(t)
+    device = assign_tile_levels(t, order)
+    monkeypatch.setattr(tile_mod, "TILE_K_CAP", 1)
+    host = assign_tile_levels(t, order)
+    assert list(host) == list(device)
+    assert list(host) == list(_oracle(t, order))
+
+
+def test_tile_carry_dtype_is_uint16():
+    # the device carry matches the reference's SequenceCountArray dtype
+    import jax
+    from paffy_tpu.ops.tile import _tile_scan
+    starts = np.zeros(1, dtype=np.int64)
+    iv_s = np.zeros((1, 8), dtype=np.int64)
+    iv_e = np.full((1, 8), 128, dtype=np.int64)
+    jaxpr = jax.make_jaxpr(
+        lambda a, b, c: _tile_scan(a, b, c, span=128, lmax=64,
+                                   total=1 << 16))(starts, iv_s, iv_e)
+    assert "u16[65664]" in str(jaxpr)
+
+
 def test_coverage_map_and_rle():
     t = mk([("q", 0, 10, 0, 10, 100, None, "10M"),
             ("q", 5, 15, 50, 60, 50, None, "10M")])
