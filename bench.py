@@ -140,8 +140,8 @@ def bench_device(host_pool, b, t, iters=40):
     import jax.numpy as jnp
     from functools import partial
     from paffy_tpu.ops.tiled import (build_packed2_chunk_batch,
-                                     build_packed2_pools,
-                                     _packed2_match_counts)
+                                     build_packed2_pools, build_res_grouped,
+                                     _packed2_res_counts)
     from paffy_tpu.ops.mismatch import build_ext_pool
 
     t0 = time.time()
@@ -156,31 +156,35 @@ def bench_device(host_pool, b, t, iters=40):
     log(f"ext + 2-bit packed pools built in {time.time()-t0:.2f}s")
 
     cb = build_packed2_chunk_batch(b, len(t), pool_len=pool.shape[0])
-    log(f"packed tiled: {cb.n_chunks} aligned chunks (pad {cb.u_pad})")
-    cargs = (jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
-             jnp.asarray(cb.qpar), jnp.asarray(cb.col_a),
-             jnp.asarray(cb.col_b), jnp.asarray(cb.rec_chunk_off))
+    g = build_res_grouped(cb)
+    log(f"packed tiled: {cb.n_chunks} aligned chunks; residual-grouped "
+        f"64 x {g.gp} (+{(64 * g.gp - cb.n_chunks) / cb.n_chunks:.1%} pad)")
+    cargs = (jnp.asarray(g.trow), jnp.asarray(g.qwin), jnp.asarray(g.qpar),
+             jnp.asarray(g.col_a), jnp.asarray(g.col_b), jnp.asarray(g.inv),
+             jnp.asarray(cb.rec_chunk_off))
 
     t0 = time.time()
-    m, x = _packed2_match_counts(packed2d, pviews, *cargs)
+    m, x = _packed2_res_counts(packed2d, pviews, *cargs, u_pad=cb.u_pad)
     mv, xv = np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
     log(f"device: compile+first+fetch {time.time()-t0:.1f}s")
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def loop(p2d, pv, trow, qwin, qpar, col_a, col_b, rco, iters):
+    @partial(jax.jit, static_argnames=("iters", "u_pad"))
+    def loop(p2d, pv, trow, qwin, qpar, col_a, col_b, inv, rco, iters, u_pad):
         def body(i, acc):
-            m, _ = _packed2_match_counts(
-                p2d, pv, jnp.roll(trow, i), jnp.roll(qwin, i),
-                jnp.roll(qpar, i), jnp.roll(col_a, i), jnp.roll(col_b, i),
-                rco)
+            # rotate within groups (axis 1): same work, defeats CSE; the inv
+            # scatter then permutes counts within records, leaving the total
+            m, _ = _packed2_res_counts.__wrapped__(
+                p2d, pv, jnp.roll(trow, i, axis=1), jnp.roll(qwin, i, axis=1),
+                jnp.roll(qpar, i, axis=1), jnp.roll(col_a, i, axis=1),
+                jnp.roll(col_b, i, axis=1), inv, rco, u_pad)
             return acc + jnp.sum(m.astype(jnp.float32))
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    float(loop(packed2d, pviews, *cargs, iters=iters))   # compile
+    float(loop(packed2d, pviews, *cargs, iters=iters, u_pad=cb.u_pad))
     times = []
     for _ in range(3):
         t0 = time.time()
-        float(loop(packed2d, pviews, *cargs, iters=iters))
+        float(loop(packed2d, pviews, *cargs, iters=iters, u_pad=cb.u_pad))
         times.append(time.time() - t0)
     dt = min(times) / iters
     log(f"device: {dt*1e3:.2f} ms/iter ({iters} kernel executions in one "
@@ -223,17 +227,12 @@ def view_e2e(big_text, host_pool, name_off, device):
     toff = np.array([name_off[n] for n in t.tname], dtype=np.int64)
     b = build_m_column_batch(t, qoff, toff)
     if device is not None:
-        import jax.numpy as jnp
-        from paffy_tpu.ops.tiled import (build_packed2_chunk_batch,
-                                         _packed2_match_counts)
+        from paffy_tpu.ops import tiled
         packed2d, pviews = device
-        cb = build_packed2_chunk_batch(b, len(t), pool_len=len(host_pool))
-        m, x = _packed2_match_counts(
-            packed2d, pviews, jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
-            jnp.asarray(cb.qpar), jnp.asarray(cb.col_a),
-            jnp.asarray(cb.col_b), jnp.asarray(cb.rec_chunk_off))
-        m = np.asarray(m).astype(np.int64)[: len(t)]
-        x = np.asarray(x).astype(np.int64)[: len(t)]
+        m, x = tiled.packed2_match_counts(packed2d, pviews, b, len(t),
+                                          len(host_pool))
+        m = m[: len(t)]
+        x = x[: len(t)]
     else:
         m, x = native.column_compare_counts(
             host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],

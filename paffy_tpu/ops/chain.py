@@ -206,13 +206,14 @@ def _dp_scan_groups(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos,
     return jax.vmap(one)(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos)
 
 
-def chain_groups_device(groups, gap_open, gap_extend, max_gap):
+def chain_groups_device(groups, gap_open, gap_extend, max_gap, mesh=None):
     """Run the chain DP for many groups in one batched device call.
 
     ``groups`` is a list of (qs, qe, ts, te, score) int64 arrays (one tuple
     per (qname,tname) group, records in processing order).  Returns a list
     of (chain_score, pred) matching _dp_numpy exactly (cross-checked in
-    tests/test_chain.py).
+    tests/test_chain.py).  With ``mesh``, the group axis is sharded over the
+    mesh's ``data`` axis (groups are independent DPs).
     """
     if not groups:
         return []
@@ -264,8 +265,14 @@ def _gap_cost(qgap, tgap, gap_open, gap_extend):
 
 
 def _chain_strand_set(t: PafTable, sel: np.ndarray, qs, qe, ts, te,
-                      gap_open, gap_extend, max_gap, chain_id_start: int):
+                      gap_open, gap_extend, max_gap, chain_id_start: int,
+                      dp_many=None):
     """Chain the records at indices ``sel`` (one strand, mirrored coords).
+
+    ``dp_many`` optionally overrides the per-group DP with a batched solver
+    taking a list of (qs, qe, ts, te, score) group tuples and returning a
+    list of (chain_score, pred) — e.g. chain_groups_device for the batched
+    (and mesh-shardable) device route.
 
     Returns (output order over sel, chain_id, chain_score arrays aligned to
     that order, next chain id).
@@ -287,12 +294,16 @@ def _chain_strand_set(t: PafTable, sel: np.ndarray, qs, qe, ts, te,
         key = (t.qname[i], t.tname[i])
         gid[k] = keys.setdefault(key, len(keys))
 
+    members = [np.nonzero(gid == g)[0] for g in range(len(keys))]
+    groups = [(sqs[m], sqe[m], sts[m], ste[m], sscore[m]) for m in members]
+    if dp_many is None:
+        results = [_group_dp(*g, gap_open, gap_extend, max_gap)
+                   for g in groups]
+    else:
+        results = dp_many(groups, gap_open, gap_extend, max_gap)
     cs = np.empty(n, dtype=np.int64)
     pred = np.full(n, -1, dtype=np.int64)
-    for g in range(len(keys)):
-        m = np.nonzero(gid == g)[0]
-        gcs, gpred = _group_dp(sqs[m], sqe[m], sts[m], ste[m], sscore[m],
-                               gap_open, gap_extend, max_gap)
+    for m, (gcs, gpred) in zip(members, results):
         cs[m] = gcs
         pred[m] = np.where(gpred >= 0, m[np.clip(gpred, 0, None)], -1)
 
@@ -336,10 +347,13 @@ def _chain_strand_set(t: PafTable, sel: np.ndarray, qs, qe, ts, te,
 
 def paf_chain(t: PafTable, gap_open: int = 5000, gap_extend: int = 1,
               max_gap: int = 1000000, pct_trim: float = 1.0,
-              check: bool = True) -> PafTable:
+              check: bool = True, dp_many=None) -> PafTable:
     """Chain a batch of records (paf_chain, impl/chaining.c:266-343).
 
     Default costs match paffy chain (impl/paf_chain.c:17-20,36-45).
+    ``dp_many`` optionally replaces the per-group DP with a batched solver
+    (see _chain_strand_set) — identical results, one device dispatch for all
+    groups.
     """
     assert 0.0 <= pct_trim <= 1.0
     n = len(t)
@@ -365,9 +379,11 @@ def paf_chain(t: PafTable, gap_open: int = 5000, gap_extend: int = 1,
     pos_sel = np.nonzero(t.strand)[0]
     neg_sel = np.nonzero(neg)[0]
     o1, id1, cs1, nxt = _chain_strand_set(t, pos_sel, qs_m, qe_m, ts, te,
-                                          gap_open, gap_extend, max_gap, 0)
+                                          gap_open, gap_extend, max_gap, 0,
+                                          dp_many=dp_many)
     o2, id2, cs2, _ = _chain_strand_set(t, neg_sel, qs_m, qe_m, ts, te,
-                                        gap_open, gap_extend, max_gap, nxt)
+                                        gap_open, gap_extend, max_gap, nxt,
+                                        dp_many=dp_many)
 
     order = np.concatenate([o1, o2])
     out = t.take(order)

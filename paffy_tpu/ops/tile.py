@@ -213,6 +213,76 @@ def assign_tile_levels(t: PafTable, order: np.ndarray) -> np.ndarray:
     return levels
 
 
+@partial(jax.jit, static_argnames=("span", "lmax", "total"))
+def _tile_scan_groups(starts, iv_start, iv_end, span, lmax, total):
+    """The tile sweep vmapped over a leading segment axis — segments are
+    independent coverage spaces (distinct query sequences commute), so the
+    segment axis is the natural ``data`` sharding axis of the multichip
+    pipeline."""
+    def one(s, a, b):
+        return _tile_scan.__wrapped__(s, a, b, span, lmax, total)
+    return jax.vmap(one)(starts, iv_start, iv_end)
+
+
+def assign_tile_levels_sharded(t: PafTable, order: np.ndarray,
+                               mesh=None) -> np.ndarray:
+    """assign_tile_levels with all coverage segments stacked into one
+    batched scan ([S, N, ...]), optionally sharded over ``mesh``'s ``data``
+    axis.  Identical levels to the sequential per-segment path (tested)."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = len(t)
+    levels = np.full(n, EMPTY_TILE_LEVEL, dtype=np.int64)
+    if n == 0:
+        return levels
+    rec, istart, iend = match_intervals(t)
+    runs_per_rec = np.zeros(n, dtype=np.int64)
+    np.add.at(runs_per_rec, rec, 1)
+    k_b = bucket_size(max(int(runs_per_rec.max(initial=0)), 1), minimum=8)
+    if k_b > TILE_K_CAP:
+        return _assign_tile_levels_host(t, order, rec, istart, iend)
+
+    seg_of, off_in, seg_sizes = _sequence_offsets(t)
+    span = int(np.max(t.qend - t.qstart)) if n else 1
+    span_b = bucket_size(max(span, 1), minimum=128)
+    total_b = max(-(-max(seg_sizes) // (1 << 20)) * (1 << 20), 1 << 16)
+    seg_of_rec = np.array([seg_of[t.qname[i]] for i in range(n)],
+                          dtype=np.int64)
+    qoff = np.array([off_in[t.qname[i]] for i in range(n)], dtype=np.int64)
+    starts_all = qoff + t.qstart
+    lmax = min(bucket_size(n + 2, minimum=64), 32768)
+
+    n_seg = len(seg_sizes)
+    if mesh is not None:
+        dp = mesh.shape["data"]
+        n_seg = -(-n_seg // dp) * dp          # pad to the data axis
+    subs = [order[seg_of_rec[order] == s] for s in range(len(seg_sizes))]
+    n_max = bucket_size(max((len(s) for s in subs), default=1) or 1,
+                        minimum=8)
+    starts_b = np.zeros((n_seg, n_max), dtype=np.int64)
+    iv_s_b = np.full((n_seg, n_max, k_b), span_b, dtype=np.int64)
+    iv_e_b = np.full((n_seg, n_max, k_b), span_b, dtype=np.int64)
+    for s, sub in enumerate(subs):
+        starts_b[s, : len(sub)] = starts_all[sub]
+        iv_s, iv_e = _pack_intervals(sub, n, rec, istart, iend, t.qstart,
+                                     span_b, k_b)
+        iv_s_b[s, : len(sub)] = iv_s
+        iv_e_b[s, : len(sub)] = iv_e
+
+    args = (starts_b, iv_s_b, iv_e_b)
+    if mesh is not None:
+        sh = NamedSharding(mesh, P("data"))
+        args = tuple(_jax.device_put(a, sh) for a in args)
+    else:
+        args = tuple(map(jnp.asarray, args))
+    lv = np.asarray(_tile_scan_groups(*args, span=span_b, lmax=lmax,
+                                      total=total_b))
+    for s, sub in enumerate(subs):
+        levels[sub] = lv[s, : len(sub)]
+    return levels
+
+
 def _assign_tile_levels_host(t: PafTable, order: np.ndarray,
                              rec, istart, iend) -> np.ndarray:
     """Exact host sweep (vectorized per record) — the fallback for batches

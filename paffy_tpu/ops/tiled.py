@@ -722,10 +722,135 @@ def packed2_match_counts(packed2d, pviews, b: MColumnBatch, n_records: int,
 
     Caller must ensure the pool is pure ACGT after case folding — use
     SequencePool.has_exotic2 / the 4-bit or unpacked kernels otherwise.
+    Large grids route through the residual-grouped kernel (no roll chain);
+    small ones keep the flat kernel (grouping padding dominates below
+    ~STEP2 * 1k chunks).
     """
     cb = build_packed2_chunk_batch(b, n_records, pool_len)
-    m, x = _packed2_match_counts(
-        packed2d, pviews, jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
-        jnp.asarray(cb.qpar), jnp.asarray(cb.col_a), jnp.asarray(cb.col_b),
-        jnp.asarray(cb.rec_chunk_off))
+    if _use_res_grouped(cb.n_chunks):
+        g = build_res_grouped(cb)
+        m, x = _packed2_res_counts(
+            packed2d, pviews, jnp.asarray(g.trow), jnp.asarray(g.qwin),
+            jnp.asarray(g.qpar), jnp.asarray(g.col_a), jnp.asarray(g.col_b),
+            jnp.asarray(g.inv), jnp.asarray(cb.rec_chunk_off),
+            u_pad=cb.u_pad)
+    else:
+        m, x = _packed2_match_counts(
+            packed2d, pviews, jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
+            jnp.asarray(cb.qpar), jnp.asarray(cb.col_a), jnp.asarray(cb.col_b),
+            jnp.asarray(cb.rec_chunk_off))
     return np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
+
+
+# ------------------------------------------------- residual-grouped 2-bit
+#
+# The flat kernel pays a LOG_STEP2-pass select+roll chain to align each
+# query window by its byte residual (qwin mod STEP2) — measured 5.5 ms of
+# the 15.4 ms golden kernel (ablations, docs/PERF_NOTES.md).  Grouping the
+# chunks by residual makes the alignment a STATIC slice per group (fused
+# into the compare, zero passes): the grid becomes [STEP2, GP] group-major,
+# per-chunk counts are scattered back to record order (one [U] int32
+# scatter) and reduced as before.  Cost: rectangular padding to the largest
+# group (~+10% gathers on the golden grid, 128-step buckets); win: the
+# whole roll chain.  Golden: 15.4 -> ~10.4 ms.
+
+RES_GROUP_THRESHOLD = 64 * 1024   # chunks; below this, flat kernel
+RES_GROUP_FORCE = False           # test hook: route every grid res-grouped
+
+
+def _use_res_grouped(n_chunks: int) -> bool:
+    if RES_GROUP_FORCE:
+        return True
+    if n_chunks < RES_GROUP_THRESHOLD:
+        return False
+    # The grouping wins by deleting the TPU roll chain; on CPU the STEP2-way
+    # unrolled graph compiles and runs far slower than the flat kernel, so
+    # large grids stay flat there (equality pinned by
+    # tests/test_mismatch.py::test_res_grouped_kernel_matches_flat).
+    # Honor a pinned jax_default_device (conftest / PAFFY_TPU_PLATFORM pin
+    # CPU while the axon plugin still owns default_backend()).
+    pinned = jax.config.jax_default_device
+    platform = pinned.platform if pinned is not None else jax.default_backend()
+    return platform != "cpu"
+
+
+@dataclass
+class ResGroupedBatch:
+    """Residual-grouped chunk grid: arrays are [STEP2, GP], group g holding
+    exactly the chunks with qwin % STEP2 == g (padding rows have
+    col_a == col_b == 0 and inv == n_chunks, scatter-dropped)."""
+
+    trow: np.ndarray
+    qwin: np.ndarray
+    qpar: np.ndarray
+    col_a: np.ndarray
+    col_b: np.ndarray
+    inv: np.ndarray               # [STEP2 * GP] slot -> original chunk index
+                                  # (padding slots point at u_pad: dropped)
+    n_chunks: int
+    gp: int
+
+
+def build_res_grouped(cb: PackedChunkBatch) -> ResGroupedBatch:
+    u = cb.n_chunks
+    res = (cb.qwin[:u] & (STEP2 - 1)).astype(np.int64)
+    order = np.argsort(res, kind="stable")
+    counts = np.bincount(res, minlength=STEP2)
+    gp = max(-(-int(counts.max()) // 128) * 128, 128)
+    starts = np.zeros(STEP2, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # slot of the k-th sorted chunk: group*GP + rank within group
+    rank = np.arange(u) - starts[res[order]]
+    slot = res[order] * gp + rank
+
+    def grouped(a, fill=0):
+        out = np.full(STEP2 * gp, fill, dtype=a.dtype)
+        out[slot] = a[order]
+        return out.reshape(STEP2, gp)
+
+    inv = np.full(STEP2 * gp, cb.u_pad, dtype=np.int32)
+    inv[slot] = order.astype(np.int32)
+    return ResGroupedBatch(
+        trow=grouped(cb.trow[:u]), qwin=grouped(cb.qwin[:u]),
+        qpar=grouped(cb.qpar[:u]), col_a=grouped(cb.col_a[:u]),
+        col_b=grouped(cb.col_b[:u]), inv=inv, n_chunks=u, gp=gp)
+
+
+@partial(jax.jit, static_argnames=("u_pad",))
+def _packed2_res_counts(packed2d, pviews, trow, qwin, qpar, col_a, col_b,
+                        inv, rec_chunk_off, u_pad):
+    """Per-record counts over the residual-grouped grid (no roll chain)."""
+    r_v = pviews.shape[0] // (4 * N_PHASE2)
+    lane4 = 4 * jnp.arange(W2, dtype=jnp.int32)[None, :]
+    m_groups, v_groups = [], []
+    for g in range(STEP2):
+        qpar_g = qpar[g].astype(jnp.int32)
+        a = col_a[g].astype(jnp.int32)[:, None]
+        bb = col_b[g].astype(jnp.int32)[:, None]
+        qw = qwin[g]
+        tb = packed2d[trow[g]]
+        c = (qw & (W2 - 1)) >> LOG_STEP2
+        r = jnp.clip(qw >> LOGW2, 0, r_v - 1)
+        win = pviews[(qpar_g * N_PHASE2 + c) * r_v + r]
+        # group g's residual alignment is one STATIC slice — fused, free
+        x = tb ^ jax.lax.slice_in_dim(win, g, g + W2, axis=1)
+        m_ = jnp.zeros(x.shape, jnp.int32)
+        for j in range(4):
+            eq = (x & jnp.uint8(0x03 << (2 * j))) == 0
+            m_ = m_ + (eq & (lane4 + j >= a) & (lane4 + j < bb)).astype(jnp.int32)
+        m_groups.append(jnp.sum(m_, axis=1, dtype=jnp.int32))
+        v_groups.append(jnp.maximum(bb[:, 0] - a[:, 0], 0))
+    m_flat = jnp.concatenate(m_groups)
+    v_flat = jnp.concatenate(v_groups)
+    # back to record order (padding slots carry inv == n_chunks -> dropped)
+    m_rec = jnp.zeros(u_pad + 1, jnp.int32).at[inv].add(
+        m_flat, mode="drop")[:u_pad]
+    v_rec = jnp.zeros(u_pad + 1, jnp.int32).at[inv].add(
+        v_flat, mode="drop")[:u_pad]
+    zero = jnp.zeros(1, dtype=jnp.int32)
+    cm = jnp.concatenate([zero, jnp.cumsum(m_rec)])
+    cv = jnp.concatenate([zero, jnp.cumsum(v_rec)])
+    bounds = jnp.clip(rec_chunk_off, 0, u_pad)
+    m = cm[bounds[1:]] - cm[bounds[:-1]]
+    tot = cv[bounds[1:]] - cv[bounds[:-1]]
+    return m, tot - m

@@ -384,3 +384,29 @@ def test_naive_device_counts_still_exact(monkeypatch):
     monkeypatch.setattr(mm, "FORCE_DEVICE", True)
     m1, x1 = mm.column_match_counts(t, pool)           # naive device kernel
     assert np.array_equal(m0, m1) and np.array_equal(x0, x1)
+
+
+def test_res_grouped_kernel_matches_flat(monkeypatch):
+    # the residual-grouped 2-bit kernel (no roll chain) must equal the flat
+    # kernel exactly on an arbitrary workload
+    import paffy_tpu.ops.tiled as tiled
+    from paffy_tpu.ops.mismatch import SequencePool
+    from paffy_tpu.ops.segments import build_m_column_batch
+    from synthdata import make_workload
+    from paffy_tpu.core.pafio import parse_paf_text
+
+    seqs, lines = make_workload(seed=21, length=30_000, n_windows=40,
+                                window=3_000, step=700)
+    t = parse_paf_text("\n".join(lines) + "\n")
+    pool = SequencePool(seqs)
+    qoff = pool.offsets_for(t.qname, "query")
+    toff = pool.offsets_for(t.tname, "target")
+    b = build_m_column_batch(t, qoff, toff)
+    packed2d, pviews = pool.packed2
+    plen = int(pool.pool.shape[0])
+
+    m1, x1 = tiled.packed2_match_counts(packed2d, pviews, b, len(t), plen)
+    monkeypatch.setattr(tiled, "RES_GROUP_FORCE", True)
+    m2, x2 = tiled.packed2_match_counts(packed2d, pviews, b, len(t), plen)
+    assert np.array_equal(m1, m2)
+    assert np.array_equal(x1, x2)
