@@ -249,9 +249,24 @@ def chain_groups_device(groups, gap_open, gap_extend, max_gap, mesh=None):
         lo_b[gi, :n] = all_lo[gi]
         w_b[gi, :n] = all_w[gi]
         pos_b[gi][qe_order] = np.arange(n)
+    args = (qs_b, ts_b, sc_b, qe_s, te_s, idx_s, lo_b, w_b, pos_b)
+    if mesh is not None:
+        # pad the group axis to the data axis and shard it: each device DPs
+        # its own groups, no cross-group communication (padding groups have
+        # w == 0 everywhere, so every step adopts nothing)
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = mesh.shape["data"]
+        g_pad = -(-g_count // dp) * dp
+        sh = NamedSharding(mesh, P("data"))
+        args = tuple(_jax.device_put(
+            np.concatenate([a, np.zeros((g_pad - g_count,) + a.shape[1:],
+                                        dtype=a.dtype)]) if g_pad > g_count
+            else a, sh) for a in args)
+    else:
+        args = tuple(map(jnp.asarray, args))
     cs, pred = _dp_scan_groups(
-        *map(jnp.asarray, (qs_b, ts_b, sc_b, qe_s, te_s, idx_s,
-                           lo_b, w_b, pos_b)),
+        *args,
         np.int64(gap_open), np.int64(gap_extend), np.int64(max_gap),
         n_pad=n_pad, w_pad=w_pad)
     cs = np.asarray(cs)

@@ -1,0 +1,171 @@
+"""Multi-host execution of the fused pipeline.
+
+The reference's distributed form is shell-level: ``paffy split_file`` shards
+per contig, each shard's ``add_mismatches | chain | tile | trim`` pipeline
+runs as a background job, and the outputs ``cat`` together in shard order
+(/root/reference/tests/paf_pipeline_test.sh:50-71).  The TPU-native
+equivalent keeps that file-grained failure/recovery model but replaces the
+process pool with a JAX multi-host runtime:
+
+  * ``initialize_from_env`` brings up ``jax.distributed`` (one process per
+    host, env-gated — a no-op on single-host runs, so every entry point
+    works unchanged on one machine).
+  * ``run_pipeline_multihost`` assigns contig shards round-robin over
+    processes, runs each local shard's fused stage over the host's local
+    device mesh (sharded_pipeline_stage), writes one PAF per shard group,
+    barriers, and has process 0 concatenate in deterministic group order —
+    the ``cat`` step.
+
+Within a host the shard's device dispatches ride the local (data, seq) mesh
+(parallel/pipeline.make_mesh over ``jax.local_devices()``); across hosts the
+only communication is the final file gather, mirroring the reference's
+share-nothing shard model (SURVEY.md section 2.6 P6).
+
+CLI: ``python -m paffy_tpu.parallel.distributed in.paf seqs.fa out.paf
+[--shards N] [--workdir D]`` — run once per host with the PAFFY_TPU_* env
+set (or standalone single-host with none).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from paffy_tpu.core.model import PafTable
+from paffy_tpu.core import pafio
+from paffy_tpu.ops.mismatch import SequencePool
+from paffy_tpu.parallel.runner import (assign_shards, pipeline_stage,
+                                       sharded_pipeline_stage,
+                                       split_by_contig)
+
+_INITIALIZED = False
+
+
+def initialize_from_env() -> bool:
+    """Env-gated ``jax.distributed.initialize`` (idempotent).
+
+    Set ``PAFFY_TPU_COORDINATOR=host:port``, ``PAFFY_TPU_NUM_PROCESSES`` and
+    ``PAFFY_TPU_PROCESS_ID`` on every host to form the pod; with none set
+    this is a no-op and everything runs single-process.  Returns True when a
+    multi-process runtime is (now) active.
+    """
+    global _INITIALIZED
+    import jax
+
+    coord = os.environ.get("PAFFY_TPU_COORDINATOR")
+    if coord is None:
+        return False
+    if _INITIALIZED:
+        return True
+    nproc = int(os.environ["PAFFY_TPU_NUM_PROCESSES"])
+    pid = int(os.environ["PAFFY_TPU_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coord,
+                               num_processes=nproc, process_id=pid)
+    _INITIALIZED = True
+    return True
+
+
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) of the current runtime."""
+    import jax
+    return jax.process_index(), jax.process_count()
+
+
+def _barrier(name: str) -> None:
+    """Cross-host barrier (no-op single-process)."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def run_pipeline_multihost(t: PafTable, seqs: dict[str, str],
+                           workdir: str, n_shards: int | None = None,
+                           by_query: bool = True,
+                           use_mesh: bool = True) -> PafTable | None:
+    """Run the fused pipeline with shards spread over processes.
+
+    Every process calls this with the SAME inputs (each host parses the
+    shared input files — the reference's shards read the same FASTA).  Shard
+    ``s`` is executed by process ``s % process_count``; each executed shard
+    writes ``workdir/shard_{gi:06d}.paf`` per contig group.  After a
+    barrier, process 0 concatenates all group files in group order and
+    returns the result table (other processes return None) — byte-identical
+    to a single-process run_pipeline (tests/test_runner.py).
+    """
+    import jax
+
+    pidx, pcount = process_info()
+    pool = SequencePool(seqs)
+    groups = split_by_contig(t, by_query=by_query)
+    if not groups:
+        return t if pidx == 0 else None
+    if n_shards is None:
+        n_shards = max(pcount, 1)
+    lengths = [int((t.qlen if by_query else t.tlen)[g[0]]) for g in groups]
+    shards = assign_shards(groups, lengths, n_shards)
+
+    mesh = None
+    if use_mesh:
+        from paffy_tpu.parallel.pipeline import make_mesh
+        local = jax.local_devices()
+        if len(local) > 1 or pcount > 1:
+            mesh = make_mesh(local)
+
+    os.makedirs(workdir, exist_ok=True)
+    for s in range(pidx, len(shards), pcount):
+        for gi in shards[s]:
+            sub = t.take(groups[gi])
+            out = (sharded_pipeline_stage(sub, pool, mesh)
+                   if mesh is not None else pipeline_stage(sub, pool))
+            path = os.path.join(workdir, f"shard_{gi:06d}.paf")
+            tmp = path + f".tmp{pidx}"
+            with open(tmp, "w") as fh:
+                fh.write(pafio.serialize_paf(out))
+            os.replace(tmp, path)      # atomic: re-runs are idempotent
+
+    _barrier("paffy_pipeline_shards")
+    if pidx != 0:
+        return None
+    texts = []
+    for gi in range(len(groups)):
+        with open(os.path.join(workdir, f"shard_{gi:06d}.paf")) as fh:
+            texts.append(fh.read())
+    return pafio.parse_paf_text("".join(texts))
+
+
+def _main(argv=None) -> int:
+    import argparse
+
+    from paffy_tpu.core.fasta import read_fasta
+
+    p = argparse.ArgumentParser(
+        prog="paffy_tpu.parallel.distributed",
+        description="multi-host fused pipeline (add_mismatches|chain|tile|"
+                    "trim), one process per host")
+    p.add_argument("paf")
+    p.add_argument("fasta")
+    p.add_argument("out")
+    p.add_argument("--shards", type=int, default=None)
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--by-target", action="store_true")
+    a = p.parse_args(argv)
+
+    initialize_from_env()
+    with open(a.paf) as fh:
+        t = pafio.parse_paf_text(fh.read())
+    with open(a.fasta) as fh:
+        seqs = read_fasta(fh)
+    workdir = a.workdir or (a.out + ".shards")
+    res = run_pipeline_multihost(t, seqs, workdir, n_shards=a.shards,
+                                 by_query=not a.by_target)
+    if res is not None:
+        with open(a.out, "w") as fh:
+            fh.write(pafio.serialize_paf(res))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(_main())

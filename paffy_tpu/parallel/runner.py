@@ -78,10 +78,46 @@ def pipeline_stage(t: PafTable, pool: SequencePool,
     return t
 
 
+def sharded_pipeline_stage(t: PafTable, pool: SequencePool, mesh,
+                           trim_identity: float = 0.05,
+                           trim_fraction: float = 1.0) -> PafTable:
+    """pipeline_stage with every device dispatch sharded over ``mesh``.
+
+    The three device kernels of the fused stage ride the mesh's ``data``
+    axis: the chain DP batches all (qname,tname) groups into one scan
+    sharded group-per-device (ops/chain.chain_groups_device), the tile sweep
+    stacks all coverage segments into one vmapped scan sharded
+    segment-per-device (ops/tile.assign_tile_levels_sharded), and the column
+    stats step is parallel/pipeline.sharded_view_stats (data x seq).  The
+    mismatch run extraction stays on the host by measurement
+    (docs/PERF_NOTES.md).  Output is byte-identical to pipeline_stage —
+    asserted by dryrun_multichip and tests/test_runner.py.
+    """
+    from functools import partial
+    from paffy_tpu.ops.chain import chain_groups_device
+    from paffy_tpu.ops.tile import assign_tile_levels_sharded
+
+    t = encode_mismatches(t, pool)
+    pafio.paf_check(t)
+    t = paf_chain(t, dp_many=partial(chain_groups_device, mesh=mesh))
+    order = tile_sort_order(t)
+    levels = assign_tile_levels_sharded(t, order, mesh=mesh)
+    from dataclasses import replace
+    t = replace(t, tile_level=levels)
+    t = t.take(order)
+    t = trim_unreliable_tails(t, trim_identity, trim_fraction)
+    pafio.paf_check(t)
+    return t
+
+
 def run_pipeline(t: PafTable, seqs: dict[str, str], n_shards: int = 1,
-                 by_query: bool = True) -> PafTable:
+                 by_query: bool = True, mesh=None) -> PafTable:
     """Run the fused pipeline sharded per contig and concatenate results in
-    deterministic group order (the distributed cat step, SURVEY.md P6)."""
+    deterministic group order (the distributed cat step, SURVEY.md P6).
+
+    With ``mesh``, each shard's device dispatches run mesh-sharded
+    (sharded_pipeline_stage); identical output either way.
+    """
     pool = SequencePool(seqs)
     groups = split_by_contig(t, by_query=by_query)
     if not groups:
@@ -96,7 +132,8 @@ def run_pipeline(t: PafTable, seqs: dict[str, str], n_shards: int = 1,
     for shard in shards:
         for gi in shard:
             sub = t.take(groups[gi])
-            out_by_group[gi] = pipeline_stage(sub, pool)
+            out_by_group[gi] = (pipeline_stage(sub, pool) if mesh is None
+                                else sharded_pipeline_stage(sub, pool, mesh))
     outs = [out_by_group[gi] for gi in range(len(groups))]
     return concat_tables(outs)
 
