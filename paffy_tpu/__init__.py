@@ -15,6 +15,12 @@ import jax as _jax
 # everywhere (per-column device tensors still use int32 where safe).
 _jax.config.update("jax_enable_x64", True)
 
+# Multi-process bring-up must precede any backend init (the platform pin
+# below touches devices) — no-op unless PAFFY_TPU_COORDINATOR is set.
+from paffy_tpu.distenv import initialize_from_env as _dist_init  # noqa: E402
+
+_dist_init()
+
 # Optional platform pin (e.g. PAFFY_TPU_PLATFORM=cpu for hermetic CLI tests —
 # the axon TPU plugin ignores JAX_PLATFORMS, so pin the default device).
 import os as _os  # noqa: E402

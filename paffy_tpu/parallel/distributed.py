@@ -31,54 +31,50 @@ from __future__ import annotations
 import os
 import sys
 
-import numpy as np
-
 from paffy_tpu.core.model import PafTable
 from paffy_tpu.core import pafio
 from paffy_tpu.ops.mismatch import SequencePool
+from paffy_tpu.distenv import coordination_barrier, initialize_from_env  # noqa: F401
 from paffy_tpu.parallel.runner import (assign_shards, pipeline_stage,
                                        sharded_pipeline_stage,
                                        split_by_contig)
 
-_INITIALIZED = False
 
-
-def initialize_from_env() -> bool:
-    """Env-gated ``jax.distributed.initialize`` (idempotent).
-
-    Set ``PAFFY_TPU_COORDINATOR=host:port``, ``PAFFY_TPU_NUM_PROCESSES`` and
-    ``PAFFY_TPU_PROCESS_ID`` on every host to form the pod; with none set
-    this is a no-op and everything runs single-process.  Returns True when a
-    multi-process runtime is (now) active.
-    """
-    global _INITIALIZED
-    import jax
-
-    coord = os.environ.get("PAFFY_TPU_COORDINATOR")
-    if coord is None:
-        return False
-    if _INITIALIZED:
-        return True
-    nproc = int(os.environ["PAFFY_TPU_NUM_PROCESSES"])
-    pid = int(os.environ["PAFFY_TPU_PROCESS_ID"])
-    jax.distributed.initialize(coordinator_address=coord,
-                               num_processes=nproc, process_id=pid)
-    _INITIALIZED = True
-    return True
+def _backend() -> str | None:
+    """Backend the pipeline should run on: the PAFFY_TPU_PLATFORM pin if set
+    (the axon TPU plugin registers itself regardless of JAX_PLATFORMS and
+    hijacks default-backend queries, so process/device lookups must name the
+    pinned backend explicitly), else the default backend."""
+    return os.environ.get("PAFFY_TPU_PLATFORM") or None
 
 
 def process_info() -> tuple[int, int]:
-    """(process_index, process_count) of the current runtime."""
+    """(process_index, process_count) of the pipeline's backend."""
     import jax
-    return jax.process_index(), jax.process_count()
+    return (jax.process_index(backend=_backend()),
+            jax.process_count(backend=_backend()))
 
 
 def _barrier(name: str) -> None:
-    """Cross-host barrier (no-op single-process)."""
-    import jax
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-        multihost_utils.sync_global_devices(name)
+    """Cross-process barrier (no-op single-process).  Uses the coordination
+    service, not a device collective — it must not depend on which backend
+    the axon plugin made the default."""
+    coordination_barrier(name)
+
+
+def _local_shard_names(t: PafTable, groups, shards, pidx: int,
+                       pcount: int) -> set[str]:
+    """Sequence names touched by the shards process ``pidx`` executes —
+    the per-host SequencePool is pruned to exactly these, mirroring the
+    reference's per-shard processes reading only the sequences their
+    records name (via the FASTA name->seq hash, impl/paf_view.c:127-134)."""
+    names: set[str] = set()
+    for s in range(pidx, len(shards), pcount):
+        for gi in shards[s]:
+            idx = groups[gi]
+            names.update(t.qname[idx])
+            names.update(t.tname[idx])
+    return names
 
 
 def run_pipeline_multihost(t: PafTable, seqs: dict[str, str],
@@ -93,12 +89,24 @@ def run_pipeline_multihost(t: PafTable, seqs: dict[str, str],
     writes ``workdir/shard_{gi:06d}.paf`` per contig group.  After a
     barrier, process 0 concatenates all group files in group order and
     returns the result table (other processes return None) — byte-identical
-    to a single-process run_pipeline (tests/test_runner.py).
+    to a single-process run_pipeline (tests/test_runner.py,
+    tests/test_multiprocess.py).
+
+    ``workdir`` MUST be on a filesystem shared by all processes (it is the
+    interconnect, exactly as files+cat are the reference's,
+    tests/paf_pipeline_test.sh:50-71).  Reachability is verified up front:
+    every process drops a probe file and checks it can see every other
+    process's probe after a barrier, failing fast (before any shard work)
+    on non-shared storage.
+
+    Each process builds its SequencePool from only the sequence names its
+    own shards touch — pool bytes per host scale with shard content, not
+    input size (the reference's per-shard processes likewise read only the
+    names their records look up in the FASTA hash).
     """
     import jax
 
     pidx, pcount = process_info()
-    pool = SequencePool(seqs)
     groups = split_by_contig(t, by_query=by_query)
     if not groups:
         return t if pidx == 0 else None
@@ -107,14 +115,30 @@ def run_pipeline_multihost(t: PafTable, seqs: dict[str, str],
     lengths = [int((t.qlen if by_query else t.tlen)[g[0]]) for g in groups]
     shards = assign_shards(groups, lengths, n_shards)
 
+    local_names = _local_shard_names(t, groups, shards, pidx, pcount)
+    # missing names fail at lookup time with the reference's error text
+    # (SequencePool.offsets_for), not here
+    pool = SequencePool({n: seqs[n] for n in sorted(local_names) if n in seqs})
+
     mesh = None
     if use_mesh:
         from paffy_tpu.parallel.pipeline import make_mesh
-        local = jax.local_devices()
+        local = jax.local_devices(backend=_backend())
         if len(local) > 1 or pcount > 1:
             mesh = make_mesh(local)
 
     os.makedirs(workdir, exist_ok=True)
+    if pcount > 1:  # fail fast on non-shared workdir
+        with open(os.path.join(workdir, f".reach_p{pidx}"), "w") as fh:
+            fh.write("ok\n")
+        _barrier("paffy_workdir_probe")
+        missing = [i for i in range(pcount) if not os.path.exists(
+            os.path.join(workdir, f".reach_p{i}"))]
+        if missing:
+            raise RuntimeError(
+                f"workdir {workdir!r} is not shared across processes "
+                f"(process {pidx} cannot see probe files from processes "
+                f"{missing}); the shard gather requires a shared filesystem")
     for s in range(pidx, len(shards), pcount):
         for gi in shards[s]:
             sub = t.take(groups[gi])

@@ -1,0 +1,130 @@
+"""Actually-executed multi-process pipeline: 2 real processes under
+``jax.distributed`` (localhost coordinator, CPU backend, 4 virtual devices
+each) running ``run_pipeline_multihost`` over a multi-contig workload.
+
+This is the TPU-native form of the reference's concurrently-running shard
+processes (/root/reference/tests/paf_pipeline_test.sh:50-71): shards are
+executed round-robin over processes, each shard's output is an atomically
+written file, and process 0 concatenates in deterministic group order.
+Asserted here:
+
+  * the gathered output is byte-identical to a single-process run_pipeline
+    (the barrier, the cross-process file gather, and the ``s % pcount``
+    shard skip all execute for real);
+  * re-running after one shard file is corrupted (a killed process's
+    half-written shard) reproduces the same bytes — the atomic-write
+    idempotence claim of parallel/distributed.py.
+"""
+
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from paffy_tpu.core import pafio
+from paffy_tpu.parallel.runner import run_pipeline
+from synthdata import make_workload
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+N_PROC = 2
+N_SHARDS = 4
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    try:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+    finally:
+        s.close()
+
+
+def _launch(pid: int, port: int, args: list[str], log_path: pathlib.Path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PAFFY_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PAFFY_TPU_COORDINATOR"] = f"localhost:{port}"
+    env["PAFFY_TPU_NUM_PROCESSES"] = str(N_PROC)
+    env["PAFFY_TPU_PROCESS_ID"] = str(pid)
+    log = open(log_path, "w")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "paffy_tpu.parallel.distributed", *args],
+        env=env, cwd=REPO, stdout=log, stderr=subprocess.STDOUT)
+    proc._log = log  # keep the handle alive
+    return proc
+
+
+def _run_world(port: int, args: list[str], tmp: pathlib.Path, tag: str):
+    procs = [_launch(pid, port, args, tmp / f"proc{pid}.{tag}.log")
+             for pid in range(N_PROC)]
+    try:
+        for p in procs:
+            p.wait(timeout=600)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+            p._log.close()
+    logs = [(tmp / f"proc{pid}.{tag}.log").read_text()
+            for pid in range(N_PROC)]
+    if any(p.returncode != 0 for p in procs):
+        joined = "\n".join(logs)
+        if "Failed to connect" in joined or "Address already in use" in joined:
+            pytest.skip("localhost coordinator unavailable in this sandbox")
+        raise AssertionError(
+            "multi-process run failed:\n" +
+            "\n---\n".join(f"[proc {i} rc={p.returncode}]\n{l}"
+                           for i, (p, l) in enumerate(zip(procs, logs))))
+    return logs
+
+
+@pytest.fixture(scope="module")
+def workload(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mp")
+    seqs, lines = make_workload(seed=11, length=16000, n_windows=16,
+                                window=1800, step=950)
+    (tmp / "in.paf").write_text("\n".join(lines) + "\n")
+    with open(tmp / "seqs.fa", "w") as fh:
+        for n, s in seqs.items():
+            fh.write(f">{n}\n{s}\n")
+    t = pafio.parse_paf_text((tmp / "in.paf").read_text())
+    expected = pafio.serialize_paf(run_pipeline(t, seqs, n_shards=N_SHARDS))
+    return tmp, expected
+
+
+def test_two_process_pipeline_matches_single_process(workload):
+    tmp, expected = workload
+    out = tmp / "out.paf"
+    args = [str(tmp / "in.paf"), str(tmp / "seqs.fa"), str(out),
+            "--shards", str(N_SHARDS), "--workdir", str(tmp / "shards")]
+    _run_world(_free_port(), args, tmp, "run1")
+
+    assert out.exists(), "process 0 did not write the gathered output"
+    assert out.read_text() == expected
+    # both processes really executed shards: round-robin over N_SHARDS=4
+    # contiguous groups means each process wrote >= 1 group file
+    shard_files = sorted((tmp / "shards").glob("shard_*.paf"))
+    assert len(shard_files) >= 2
+    # probe files prove the shared-workdir fail-fast ran multi-process
+    for pid in range(N_PROC):
+        assert (tmp / "shards" / f".reach_p{pid}").exists()
+
+
+def test_rerun_after_corrupted_shard_is_idempotent(workload):
+    tmp, expected = workload
+    out = tmp / "out2.paf"
+    args = [str(tmp / "in.paf"), str(tmp / "seqs.fa"), str(out),
+            "--shards", str(N_SHARDS), "--workdir", str(tmp / "shards2")]
+    _run_world(_free_port(), args, tmp, "run2")
+    assert out.read_text() == expected
+
+    # simulate a killed process's torn shard file, then re-run the world
+    victim = sorted((tmp / "shards2").glob("shard_*.paf"))[0]
+    victim.write_text("garbage\tnot-a-paf\n")
+    out.unlink()
+    _run_world(_free_port(), args, tmp, "run3")
+    assert out.read_text() == expected
