@@ -7,6 +7,11 @@ emission, BED compression, chunk packing — fails here even if the drifted
 implementation stays self-consistent (VERDICT r1 missing #4; complements the
 reference's own byte-stability gate, tests/paf_test.c:11-47).
 
+The pinned hashes are REFERENCE-ANCHORED, not self-referential: the compiled
+reference binaries (built via tools/refbuild/) must produce these same
+hashes over the same invocations (tests/test_reference_diff.py), so this
+suite + that one assert byte-for-byte parity with the reference.
+
 Regenerate after an INTENDED behavior change with
 ``PAFFY_TPU_REGEN_GOLDEN=1 python -m pytest tests/test_golden_snapshots.py``
 and review the diff of tests/golden_hashes.json like source.
