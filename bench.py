@@ -226,14 +226,19 @@ def view_e2e(big_text, host_pool, name_off, device):
     qoff = np.array([name_off[n] for n in t.qname], dtype=np.int64)
     toff = np.array([name_off[n] for n in t.tname], dtype=np.int64)
     b = build_m_column_batch(t, qoff, toff)
-    if device is not None:
+    if device == "native_mt":      # the threaded production host route
+        m, x = native.column_compare_counts_mt(
+            host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+            b.tpos0[: b.n_mops], b.rev[: b.n_mops], b.rec[: b.n_mops],
+            len(t))
+    elif device is not None:       # (packed2d, pviews): the device kernel
         from paffy_tpu.ops import tiled
         packed2d, pviews = device
         m, x = tiled.packed2_match_counts(packed2d, pviews, b, len(t),
                                           len(host_pool))
         m = m[: len(t)]
         x = x[: len(t)]
-    else:
+    else:                          # single-threaded C reference loop
         m, x = native.column_compare_counts(
             host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
             b.tpos0[: b.n_mops], b.rev[: b.n_mops], b.rec[: b.n_mops],
@@ -262,21 +267,47 @@ def view_e2e(big_text, host_pool, name_off, device):
 
 
 def bench_view_e2e(text, host_pool, name_off, device, iters=3):
+    """Times three view -s e2e routes: the single-thread C reference, the
+    device kernel, and the PRODUCTION route (whichever of threaded-native /
+    device the bandwidth-aware router picks for this link,
+    ops/mismatch.device_counts_predicted_faster)."""
+    from paffy_tpu.core import pafio
+    from paffy_tpu.ops import mismatch
+    from paffy_tpu.ops.segments import build_m_column_batch
+
     big = text * REP_VIEW
+    t = pafio.parse_paf_text(text)
+    qoff = np.array([name_off[n] for n in t.qname], dtype=np.int64)
+    toff = np.array([name_off[n] for n in t.tname], dtype=np.int64)
+    b = build_m_column_batch(t, qoff, toff)
+    from types import SimpleNamespace
+    big_b = SimpleNamespace(n_cols=b.n_cols * REP_VIEW,
+                            n_mops=b.n_mops * REP_VIEW)
+    dev_faster = mismatch.device_counts_predicted_faster(big_b)
+    prod = device if dev_faster else "native_mt"
+    log(f"view routing: measured link {mismatch.transfer_bandwidth()/1e6:.1f}"
+        f" MB/s -> production route = "
+        f"{'device kernel' if dev_faster else 'threaded native'}")
+
     base_out, _, n = view_e2e(big, host_pool, name_off, None)
-    dev_out, _, _ = view_e2e(big, host_pool, name_off, device)  # warm compile
-    if dev_out != base_out:
-        log("ERROR: view e2e device output differs from C path!")
-        sys.exit(1)
-    base_ts, dev_ts = [], []
+    for mode in (device, prod):   # warm compiles / page in
+        out, _, _ = view_e2e(big, host_pool, name_off, mode)
+        if out != base_out:
+            log(f"ERROR: view e2e {mode!r} output differs from C path!")
+            sys.exit(1)
+    base_ts, dev_ts, prod_ts = [], [], []
     for _ in range(iters):   # interleaved: see bench_am_e2e
         base_ts.append(view_e2e(big, host_pool, name_off, None)[1])
         dev_ts.append(view_e2e(big, host_pool, name_off, device)[1])
-    base_dt, dev_dt = min(base_ts), min(dev_ts)
+        prod_ts.append(view_e2e(big, host_pool, name_off, prod)[1])
+    base_dt, dev_dt, prod_dt = min(base_ts), min(dev_ts), min(prod_ts)
     log(f"view -s e2e x{REP_VIEW} ({n} records): C {base_dt:.2f}s, "
-        f"device {dev_dt:.2f}s -> {n/dev_dt:.0f} rec/s "
-        f"({REP_VIEW*124949228/dev_dt/1e9:.2f} Gcol/s e2e); outputs byte-identical")
-    return n / dev_dt, base_dt / dev_dt
+        f"device {dev_dt:.2f}s, production {prod_dt:.2f}s -> "
+        f"{n/prod_dt:.0f} rec/s "
+        f"({REP_VIEW*124949228/prod_dt/1e9:.2f} Gcol/s e2e); "
+        f"outputs byte-identical")
+    return (n / prod_dt, base_dt / prod_dt, base_dt / dev_dt,
+            "device" if dev_faster else "native_mt")
 
 
 # ----------------------------------------------- end-to-end add_mismatches
@@ -345,7 +376,8 @@ def main():
         sys.exit(1)
     log("device/C per-record results identical")
 
-    view_rec_s, view_vs = bench_view_e2e(text, host_pool, name_off, device)
+    view_rec_s, view_vs, view_dev_vs, view_route = bench_view_e2e(
+        text, host_pool, name_off, device)
     am_ops_s, am_vs = bench_am_e2e(text, host_pool, name_off)
 
     print(json.dumps({
@@ -356,6 +388,8 @@ def main():
         "extra": {
             "view_e2e_records_per_second": round(view_rec_s, 1),
             "view_e2e_vs_single_thread_c": round(view_vs, 3),
+            "view_e2e_route": view_route,
+            "view_e2e_device_route_vs_single_thread_c": round(view_dev_vs, 3),
             "add_mismatches_e2e_cigar_ops_per_second": round(am_ops_s, 1),
             "add_mismatches_e2e_vs_single_thread": round(am_vs, 3),
             "byte_equality_gates": "passed",

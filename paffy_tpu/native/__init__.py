@@ -106,6 +106,12 @@ def get_lib():
         lib.column_compare_counts.argtypes = [_U8P, ctypes.c_longlong,
                                               _I64P, _I64P, _I64P, _U8P,
                                               _I64P, _I64P, _I64P]
+        lib.column_compare_counts_mt.restype = None
+        lib.column_compare_counts_mt.argtypes = [_U8P, ctypes.c_longlong,
+                                                 _I64P, _I64P, _I64P, _U8P,
+                                                 _I64P, ctypes.c_longlong,
+                                                 _I64P, _I64P,
+                                                 ctypes.c_longlong]
         lib.column_encode_runs.restype = ctypes.c_longlong
         lib.column_encode_runs.argtypes = [_U8P, ctypes.c_longlong,
                                            _I64P, _I64P, _I64P, _U8P,
@@ -248,6 +254,28 @@ def column_compare_counts(pool: np.ndarray, lens, qpos0, tpos0, rev, rec,
         _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
         _p_i64(np.ascontiguousarray(rec, dtype=np.int64)),
         _p_i64(m), _p_i64(x))
+    return m, x
+
+
+def column_compare_counts_mt(pool: np.ndarray, lens, qpos0, tpos0, rev, rec,
+                             n_records: int, n_threads: int | None = None):
+    """Threaded per-base column compare — the production host counts path
+    (per-thread partial [n_records] accumulators summed after the join;
+    result identical to the single-threaded loop)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_mops = len(lens)
+    m = np.zeros(n_records, dtype=np.int64)
+    x = np.zeros(n_records, dtype=np.int64)
+    lib.column_compare_counts_mt(
+        _p_u8(np.ascontiguousarray(pool)), n_mops,
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qpos0, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(tpos0, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(rec, dtype=np.int64)),
+        n_records, _p_i64(m), _p_i64(x), _default_threads(n_threads))
     return m, x
 
 

@@ -447,6 +447,63 @@ void column_compare_counts(const unsigned char* pool,
     }
 }
 
+// Threaded per-record column counts — the PRODUCTION counts path when the
+// router predicts the host beats the device end-to-end (upload-bound
+// tunnels, see ops/mismatch._device_counts_predicted_faster).  Shards the
+// mop range column-balanced; each thread accumulates into a private
+// [n_records] pair and the partials sum afterwards (integer adds — result
+// identical to the sequential pass).  column_compare_counts above stays
+// single-threaded by design: it is the benchmark's reference C loop.
+void column_compare_counts_mt(const unsigned char* pool,
+                              long long n_mops,
+                              const long long* lens,
+                              const long long* qpos0,
+                              const long long* tpos0,
+                              const unsigned char* rev,
+                              const long long* rec,
+                              long long n_records,
+                              long long* m_out, long long* x_out,
+                              long long n_threads) {
+    if (n_threads <= 1 || n_mops < 256) {
+        column_compare_counts(pool, n_mops, lens, qpos0, tpos0, rev, rec,
+                              m_out, x_out);
+        return;
+    }
+    init_tables();
+    long long total = 0;
+    for (long long j = 0; j < n_mops; ++j) total += lens[j];
+    std::vector<long long> jb(n_threads + 1, n_mops);
+    jb[0] = 0;
+    {
+        long long j = 0, col = 0;
+        for (long long s = 1; s < n_threads; ++s) {
+            const long long target = total * s / n_threads;
+            while (j < n_mops && col < target) col += lens[j++];
+            jb[s] = j;
+        }
+    }
+    std::vector<long long> partial((size_t)(2 * n_threads * n_records), 0);
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s) {
+        th.emplace_back([&, s] {
+            long long* pm = partial.data() + 2 * s * n_records;
+            long long* px = pm + n_records;
+            column_compare_counts(pool, jb[s + 1] - jb[s], lens + jb[s],
+                                  qpos0 + jb[s], tpos0 + jb[s], rev + jb[s],
+                                  rec + jb[s], pm, px);
+        });
+    }
+    for (auto& t : th) t.join();
+    for (long long s = 0; s < n_threads; ++s) {
+        const long long* pm = partial.data() + 2 * s * n_records;
+        const long long* px = pm + n_records;
+        for (long long r = 0; r < n_records; ++r) {
+            m_out[r] += pm[r];
+            x_out[r] += px[r];
+        }
+    }
+}
+
 // One shard of the =/X run decomposition: ops [j0, j1), with col0 the
 // global column index of op j0's first column and (when filling) the runs
 // written from out index run0.  Returns the shard's run count.

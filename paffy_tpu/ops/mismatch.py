@@ -245,6 +245,60 @@ def _prepare(t: PafTable, pool: SequencePool):
     return build_m_column_batch(t, qoff, toff)
 
 
+# ------------------------------------------------ e2e counts routing model
+# The device kernel is ~12x the single-thread C loop, but every batch's
+# chunk grid must cross the host->device link and the result must come
+# back; on a slow link the transfer dwarfs the kernel (BENCH_r02 measured
+# the device view e2e at 0.72x the C path over the ~11 MB/s axon tunnel).
+# Route on PREDICTED END-TO-END TIME, not batch size (docs/PERF_NOTES.md
+# round-2 transfer section): upload bytes / measured bandwidth + kernel
+# time + dispatch overhead vs the threaded native compare rate.
+DEVICE_COLS_PER_S = 10e9     # 2-bit kernel, measured 12.8 Gcol/s golden
+NATIVE_COLS_PER_S = 0.9e9    # per-thread C compare, measured ~1.06 golden
+DEVICE_DISPATCH_S = 0.08     # dispatch + fetch roundtrips on a remote link
+CHUNK_UPLOAD_BYTES = 16      # per aligned chunk (13 B payload + offsets)
+_transfer_bw: float | None = None
+
+
+def transfer_bandwidth() -> float:
+    """Host->device bandwidth in bytes/s, measured once per process with an
+    8 MB device_put to the default device (PAFFY_TPU_TRANSFER_BW env
+    overrides — tests and known-bandwidth deployments skip the probe)."""
+    global _transfer_bw
+    if _transfer_bw is None:
+        import os
+        import time
+        env = os.environ.get("PAFFY_TPU_TRANSFER_BW")
+        if env:
+            _transfer_bw = float(env)
+        else:
+            data = np.zeros(8 << 20, dtype=np.uint8)
+            t0 = time.perf_counter()
+            jax.device_put(data).block_until_ready()
+            _transfer_bw = len(data) / max(time.perf_counter() - t0, 1e-9)
+    return _transfer_bw
+
+
+def _compute_platform() -> str:
+    """Platform of the device batches actually dispatch to (the pinned
+    default device if set, else the default backend)."""
+    dd = jax.config.jax_default_device
+    return dd.platform if dd is not None else jax.default_backend()
+
+
+def device_counts_predicted_faster(b) -> bool:
+    """True when the device counts route is predicted to beat the threaded
+    native host pass end-to-end for this batch."""
+    if _compute_platform() == "cpu":
+        return False        # no accelerator: the C pass IS the host path
+    import os
+    n_chunks = b.n_cols / 1024.0 + b.n_mops     # ~1024 cols/chunk + 1/run
+    t_dev = (n_chunks * CHUNK_UPLOAD_BYTES / transfer_bandwidth()
+             + b.n_cols / DEVICE_COLS_PER_S + DEVICE_DISPATCH_S)
+    t_native = b.n_cols / (NATIVE_COLS_PER_S * min(os.cpu_count() or 1, 8))
+    return t_dev < t_native
+
+
 def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np.ndarray]:
     """Per-record counts of matching / mismatching columns within M runs."""
     b = _prepare(t, pool)
@@ -253,6 +307,17 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
         return z, z.copy()
     plen = pool.pool.shape[0]
     if b.n_cols >= TILED_THRESHOLD:
+        # bandwidth-aware routing: big batches go native when the link
+        # upload would dominate (both routes byte-identical; FORCE_DEVICE
+        # keeps the device kernels testable without a toolchain)
+        if not FORCE_DEVICE and not device_counts_predicted_faster(b):
+            from paffy_tpu import native
+            res = native.column_compare_counts_mt(
+                pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+                b.tpos0[: b.n_mops], b.rev[: b.n_mops], b.rec[: b.n_mops],
+                len(t))
+            if res is not None:
+                return res
         # fastest exact kernel for the pool's alphabet: 2-bit (pure ACGT)
         # -> 4-bit (15-char IUPAC) -> unpacked ext (any byte); each kernel
         # requires int32-addressable positions (tiled.*_addressable) —

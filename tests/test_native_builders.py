@@ -107,3 +107,36 @@ def test_packed2_grid_zero_length_op(monkeypatch):
     assert nat.n_chunks == ref.n_chunks
     for f in ("trow", "qwin", "qpar", "col_a", "col_b", "rec_chunk_off"):
         assert np.array_equal(getattr(nat, f), getattr(ref, f)), f
+
+
+def test_threaded_counts_match_single_thread(workload):
+    """column_compare_counts_mt (the production host counts route) must be
+    identical to the single-threaded reference loop at every thread count."""
+    t, pool, qoff, toff = workload
+    b = segments.build_m_column_batch(t, qoff, toff)
+    args = (pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
+            b.tpos0[: b.n_mops], b.rev[: b.n_mops], b.rec[: b.n_mops],
+            len(t))
+    m1, x1 = native.column_compare_counts(*args)
+    for thr in (1, 2, 3, 8):
+        m, x = native.column_compare_counts_mt(*args, n_threads=thr)
+        assert (m == m1).all() and (x == x1).all(), f"n_threads={thr}"
+
+
+def test_counts_routing_prediction(monkeypatch):
+    """The e2e router picks native on slow links and the device on fast
+    ones, and always native when no accelerator is present."""
+    from types import SimpleNamespace
+    from paffy_tpu.ops import mismatch
+
+    b = SimpleNamespace(n_cols=125_000_000, n_mops=185_000)
+    # no accelerator (default in this test env): native regardless of bw
+    assert not mismatch.device_counts_predicted_faster(b)
+    # accelerator behind a ~11 MB/s tunnel: upload dominates -> native
+    monkeypatch.setattr(mismatch, "_compute_platform", lambda: "tpu")
+    monkeypatch.setattr(mismatch, "_transfer_bw", 11e6)
+    assert not mismatch.device_counts_predicted_faster(b)
+    # PCIe-attached accelerator: device kernel wins at this size
+    monkeypatch.setattr(mismatch, "_transfer_bw", 10e9)
+    big = SimpleNamespace(n_cols=2_000_000_000, n_mops=3_000_000)
+    assert mismatch.device_counts_predicted_faster(big)
