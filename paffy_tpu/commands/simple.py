@@ -122,9 +122,15 @@ class DedupeState:
             dup |= hit & (first[pos_c] < np.arange(n))
             dup |= probe_seen(ivoid)
         dup |= probe_seen(void)
-        new = void[~dup]
-        self.seen = np.sort(new) if self.seen is None else \
-            np.sort(np.concatenate([self.seen, new]))
+        new = np.sort(void[~dup])   # batch first-occurrences, sorted
+        if self.seen is None:
+            self.seen = new
+        else:
+            # merge the n new keys into the already-sorted seen array:
+            # O(S + n log n) per batch, not O(S log S) (a long stream's
+            # cumulative re-sort dominated the per-batch work)
+            self.seen = np.insert(self.seen,
+                                  np.searchsorted(self.seen, new), new)
         return ~dup
 
 

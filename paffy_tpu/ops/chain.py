@@ -207,16 +207,42 @@ def _dp_scan_groups(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos,
 
 
 def chain_groups_device(groups, gap_open, gap_extend, max_gap, mesh=None):
-    """Run the chain DP for many groups in one batched device call.
+    """Run the chain DP for many groups in batched device calls.
 
     ``groups`` is a list of (qs, qe, ts, te, score) int64 arrays (one tuple
     per (qname,tname) group, records in processing order).  Returns a list
     of (chain_score, pred) matching _dp_numpy exactly (cross-checked in
     tests/test_chain.py).  With ``mesh``, the group axis is sharded over the
     mesh's ``data`` axis (groups are independent DPs).
+
+    Groups are bucketed by power-of-two padded size with one batched scan
+    per bucket: padding every group to the global max ([G, n_pad] x 6
+    int64 arrays) made one large group among many small ones inflate host
+    memory and link transfer multiplicatively; bucket count (and so compile
+    count) stays <= log2(max n).
     """
     if not groups:
         return []
+    buckets: dict[int, list[int]] = {}
+    for gi, g in enumerate(groups):
+        buckets.setdefault(bucket_size(len(g[0])), []).append(gi)
+    if len(buckets) > 1:
+        results = [None] * len(groups)
+        for _, idxs in sorted(buckets.items()):
+            sub = _chain_groups_device_bucket([groups[i] for i in idxs],
+                                              gap_open, gap_extend, max_gap,
+                                              mesh)
+            for i, r in zip(idxs, sub):
+                results[i] = r
+        return results
+    return _chain_groups_device_bucket(groups, gap_open, gap_extend,
+                                       max_gap, mesh)
+
+
+def _chain_groups_device_bucket(groups, gap_open, gap_extend, max_gap,
+                                mesh=None):
+    """One size bucket of chain_groups_device: every group pads to the
+    bucket's n_pad / the bucket's own max window."""
     n_pad = bucket_size(max(len(g[0]) for g in groups))
     all_lo, all_w, all_orders = [], [], []
     for qs, qe, ts, te, score in groups:
