@@ -43,6 +43,20 @@ from paffy_tpu.ops.segments import bucket_size
 
 TILE_SEGMENT_BASES = 1 << 26   # carry bin target: 64M bases = 128 MB uint16
 TILE_K_CAP = 2048              # device cap on padded runs-per-record
+# Device budget per segment scan in element-passes (~steps x span_b x
+# passes-per-step): one whole-chromosome-span record inflates EVERY step's
+# dynamic slice and each median probe scans the full window, so a segment
+# whose predicted work exceeds this routes to the exact host sweep instead
+# (same semantics; segments commute).  2^36 keeps the 125M-column golden
+# workload on device (~3e10) while a 1000-record segment with one 50 Mb-span
+# record (~1e12) goes host.
+TILE_DEVICE_WORK_CAP = 1 << 36
+
+
+def _scan_work(n_records: int, span_b: int, lmax: int) -> int:
+    """Predicted element-passes of a segment scan: mask build + add +
+    median bisect probes, each a pass over the span window."""
+    return n_records * span_b * (4 + _level_bits(lmax))
 
 
 def _level_bits(lmax: int) -> int:
@@ -187,11 +201,9 @@ def assign_tile_levels(t: PafTable, order: np.ndarray) -> np.ndarray:
         return _assign_tile_levels_host(t, order, rec, istart, iend)
 
     seg_of, off_in, seg_sizes = _sequence_offsets(t)
-    span = int(np.max(t.qend - t.qstart)) if n else 1
-    span_b = bucket_size(max(span, 1), minimum=128)
-    # one shared compile: every segment scan uses the maximum segment size,
-    # rounded linearly (1M steps) — power-of-two bucketing would double the
-    # carry for a just-over-a-power segment
+    # carry size is shared across segment scans (one compile per span
+    # bucket), rounded linearly (1M steps) — power-of-two bucketing would
+    # double the carry for a just-over-a-power segment
     total_b = max(-(-max(seg_sizes) // (1 << 20)) * (1 << 20), 1 << 16)
 
     seg_of_rec = np.array([seg_of[t.qname[i]] for i in range(n)],
@@ -203,6 +215,15 @@ def assign_tile_levels(t: PafTable, order: np.ndarray) -> np.ndarray:
     for s in range(len(seg_sizes)):
         sub = order[seg_of_rec[order] == s]
         if len(sub) == 0:
+            continue
+        # span is PER SEGMENT: one whole-chromosome record no longer
+        # inflates every other segment's dynamic slices (compile count
+        # stays bounded by the power-of-two span buckets)
+        span_s = int(np.max(t.qend[sub] - t.qstart[sub]))
+        span_b = bucket_size(max(span_s, 1), minimum=128)
+        if _scan_work(len(sub), span_b, lmax) > TILE_DEVICE_WORK_CAP:
+            host = _assign_tile_levels_host(t, sub, rec, istart, iend)
+            levels[sub] = host[sub]
             continue
         iv_s, iv_e = _pack_intervals(sub, n, rec, istart, iend, t.qstart,
                                      span_b, k_b)
@@ -249,9 +270,17 @@ def assign_tile_levels_sharded(t: PafTable, order: np.ndarray,
     total_b = max(-(-max(seg_sizes) // (1 << 20)) * (1 << 20), 1 << 16)
     seg_of_rec = np.array([seg_of[t.qname[i]] for i in range(n)],
                           dtype=np.int64)
+    lmax = min(bucket_size(n + 2, minimum=64), 32768)
+    # the stacked scan shares one (batch-global) span across segments; when
+    # a long-span record would blow the work budget, fall back to the
+    # sequential path, which uses per-segment spans and host-routes the
+    # pathological segment (identical levels either way)
+    seg_counts = np.bincount(seg_of_rec, minlength=len(seg_sizes))
+    if _scan_work(int(seg_counts.max(initial=0)), span_b,
+                  lmax) > TILE_DEVICE_WORK_CAP:
+        return assign_tile_levels(t, order)
     qoff = np.array([off_in[t.qname[i]] for i in range(n)], dtype=np.int64)
     starts_all = qoff + t.qstart
-    lmax = min(bucket_size(n + 2, minimum=64), 32768)
 
     n_seg = len(seg_sizes)
     if mesh is not None:

@@ -211,3 +211,49 @@ def test_coverage_map_and_rle():
     assert list(vals) == [1, 2, 1, 0]
     starts_b, ends_b, _ = run_length_rows(counts, binary=True)
     assert list(starts_b) == [0, 15]
+
+
+def test_span_hazard_routes_to_host(monkeypatch):
+    """A segment whose predicted scan work (one long-span record inflating
+    every step's window) exceeds TILE_DEVICE_WORK_CAP routes to the exact
+    host sweep; other segments stay on the device with their OWN span
+    bucket.  Levels identical either way."""
+    import paffy_tpu.ops.tile as tile_mod
+
+    # seq A: one 50k-span record + small records; seq B: small records only
+    lines = []
+    qlen = 60_000
+    lines.append(f"A\t{qlen}\t0\t50000\t+\tt\t60000\t0\t50000\t50000\t50000"
+                 f"\t60\tAS:i:900\tcg:Z:50000M")
+    for i in range(6):
+        qs = 1000 * i
+        lines.append(f"A\t{qlen}\t{qs}\t{qs+200}\t+\tt\t60000\t{qs}\t{qs+200}"
+                     f"\t200\t200\t60\tAS:i:{500-i}\tcg:Z:200M")
+        lines.append(f"B\t{qlen}\t{qs}\t{qs+200}\t+\tt\t60000\t{qs}\t{qs+200}"
+                     f"\t200\t200\t60\tAS:i:{400-i}\tcg:Z:200M")
+    t = parse_paf_text("\n".join(lines) + "\n")
+    order = tile_sort_order(t)
+    expected = assign_tile_levels(t, order)          # all-device reference
+
+    calls = {"host": 0}
+    orig = tile_mod._assign_tile_levels_host
+
+    def spy(*a, **k):
+        calls["host"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(tile_mod, "_assign_tile_levels_host", spy)
+    # cap low enough that seq A's segment (span 50k) must go host while
+    # seq B's (span 200 -> its own per-segment bucket) stays device
+    monkeypatch.setattr(tile_mod, "TILE_DEVICE_WORK_CAP",
+                        tile_mod._scan_work(7, 4096, 64))
+    # force A and B into separate segments so the spans don't share
+    monkeypatch.setattr(tile_mod, "TILE_SEGMENT_BASES", qlen)
+    routed = assign_tile_levels(t, order)
+    assert calls["host"] == 1, "exactly the hazardous segment routes host"
+    assert list(routed) == list(expected)
+
+    # the sharded entry falls back to the sequential path under the cap
+    from paffy_tpu.ops.tile import assign_tile_levels_sharded
+    sharded = assign_tile_levels_sharded(t, order)
+    assert list(sharded) == list(expected)
