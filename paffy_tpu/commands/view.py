@@ -142,27 +142,30 @@ def main(argv) -> int:
             stats["matches"] = stats["matches"] - m_op_lens + m_cols
             stats["mismatches"] = stats["mismatches"] + x_cols
             if not args.noPerAlignmentStats:
-                blob = None
-                if not args.includeAlignment:
-                    # batch-format the stat lines natively (a per-record
-                    # f-string loop was the bottleneck of the default view
-                    # output on large files); -a interleaves the alignment
-                    # rendering per record and keeps the per-record path
-                    from paffy_tpu import native
-                    vals = np.column_stack([
-                        t.qstart, t.qend, t.tstart, t.tend,
-                        t.strand.astype(np.int64), t.score,
-                        stats["matches"], stats["mismatches"],
-                        stats["query_inserts"], stats["query_deletes"],
-                        stats["query_insert_bases"],
-                        stats["query_delete_bases"]])
-                    blob = native.view_stats_lines(t.qname, t.tname, vals)
-                if blob is not None:
-                    out.write(blob.decode("latin-1"))
-                else:
+                # batch-format the stat lines natively (a per-record
+                # f-string loop was the bottleneck of the default view
+                # output on large files); with -a the batched lines
+                # interleave with each record's alignment rendering
+                from paffy_tpu import native
+                vals = np.column_stack([
+                    t.qstart, t.qend, t.tstart, t.tend,
+                    t.strand.astype(np.int64), t.score,
+                    stats["matches"], stats["mismatches"],
+                    stats["query_inserts"], stats["query_deletes"],
+                    stats["query_insert_bases"],
+                    stats["query_delete_bases"]])
+                blob = native.view_stats_lines(t.qname, t.tname, vals)
+                if blob is None:           # no toolchain: python fallback
                     for i in range(len(t)):
                         pretty_print_record(t, i, stats, out,
                                             args.includeAlignment, seqs)
+                elif args.includeAlignment:
+                    lines = blob.decode("latin-1").splitlines(keepends=True)
+                    for i in range(len(t)):
+                        out.write(lines[i])
+                        _render_alignment(t, i, out, seqs)
+                else:
+                    out.write(blob.decode("latin-1"))
             totals += np.array([stats["matches"].sum(),
                                 stats["mismatches"].sum(),
                                 stats["query_inserts"].sum(),
