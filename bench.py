@@ -310,6 +310,123 @@ def bench_view_e2e(text, host_pool, name_off, device, iters=3):
             "device" if dev_faster else "native_mt")
 
 
+# ------------------------------------- chain / tile device kernels + pipeline
+
+def bench_chain_device(t, iters=3):
+    """Chain DP on device vs host over the shattered golden workload,
+    windowed into <=2048-record groups per (qname,tname,strand) in
+    processing order (the multichip pipeline's batched-groups shape —
+    a single 150k-step scan does not compile on this toolchain,
+    docs/PERF_NOTES.md).  Identical (cs, pred) asserted per group."""
+    from paffy_tpu.ops.transforms import shatter
+    from paffy_tpu.ops.chain import _dp_numpy, chain_groups_device
+
+    s = shatter(t)
+    groups = []
+    for sel in (np.nonzero(s.strand)[0], np.nonzero(~s.strand)[0]):
+        if len(sel) == 0:
+            continue
+        sel = sel[np.lexsort((sel, s.qstart[sel]))]
+        for lo in range(0, len(sel), 2048):
+            w = sel[lo: lo + 2048]
+            groups.append((s.qstart[w], s.qend[w], s.tstart[w], s.tend[w],
+                           (s.qend[w] - s.qstart[w]).astype(np.int64)))
+    args = (5000, 1, 1_000_000)
+    host = [_dp_numpy(*g, *args) for g in groups]
+    t0 = time.time()
+    dev = chain_groups_device(groups, *args)    # compile (persistent cache)
+    compile_s = time.time() - t0
+    for (hc, hp), (dc, dp_) in zip(host, dev):
+        if not (np.array_equal(hc, dc) and np.array_equal(hp, dp_)):
+            log("ERROR: chain device DP differs from host DP!")
+            sys.exit(1)
+    host_ts, dev_ts = [], []
+    for _ in range(iters):   # interleaved (docs/PERF_NOTES.md methodology)
+        t0 = time.time()
+        for g in groups:
+            _dp_numpy(*g, *args)
+        host_ts.append(time.time() - t0)
+        t0 = time.time()
+        chain_groups_device(groups, *args)
+        dev_ts.append(time.time() - t0)
+    t_host, t_dev = min(host_ts), min(dev_ts)
+    log(f"chain DP ({len(s)} shattered records, {len(groups)} groups x "
+        f"<=2048): host {t_host:.2f}s, device {t_dev:.2f}s "
+        f"(first call {compile_s:.0f}s incl. compile) -> "
+        f"device/host {t_host/t_dev:.2f}x; results identical")
+    return t_host / t_dev
+
+
+def bench_tile_device(t, iters=3):
+    """Tile sweep on device vs the exact host sweep over the golden
+    workload (207 records, spans to 7.5M, runs/record to ~10k —
+    TILE_K_CAP lifted for the bench so the device scan runs).  Identical
+    levels asserted."""
+    from paffy_tpu.ops import tile as tile_mod
+    from paffy_tpu.ops.coverage import match_intervals
+    from paffy_tpu.ops.tile import (_assign_tile_levels_host,
+                                    assign_tile_levels, tile_sort_order)
+
+    order = tile_sort_order(t)
+    rec, istart, iend = match_intervals(t)
+    host = _assign_tile_levels_host(t, order, rec, istart, iend)
+    old_cap = tile_mod.TILE_K_CAP
+    tile_mod.TILE_K_CAP = 1 << 15
+    try:
+        t0 = time.time()
+        dev = assign_tile_levels(t, order)      # compile (persistent cache)
+        compile_s = time.time() - t0
+        if list(dev) != list(host):
+            log("ERROR: tile device levels differ from host sweep!")
+            sys.exit(1)
+        host_ts, dev_ts = [], []
+        for _ in range(iters):   # interleaved
+            t0 = time.time()
+            _assign_tile_levels_host(t, order, rec, istart, iend)
+            host_ts.append(time.time() - t0)
+            t0 = time.time()
+            assign_tile_levels(t, order)
+            dev_ts.append(time.time() - t0)
+    finally:
+        tile_mod.TILE_K_CAP = old_cap
+    t_host, t_dev = min(host_ts), min(dev_ts)
+    log(f"tile sweep ({len(t)} records): host {t_host:.2f}s, device "
+        f"{t_dev:.2f}s (first call {compile_s:.0f}s incl. compile) -> "
+        f"device/host {t_host/t_dev:.2f}x; levels identical")
+    return t_host / t_dev
+
+
+def bench_pipeline_e2e(t, host_pool, name_off, iters=2):
+    """The fused per-shard pipeline (add_mismatches | chain | tile | trim,
+    tests/paf_pipeline_test.sh:57-60) end-to-end over the shattered golden
+    workload with production routing; determinism byte-gated."""
+    from paffy_tpu.core import pafio
+    from paffy_tpu.ops.transforms import shatter
+    from paffy_tpu.parallel.runner import pipeline_stage
+
+    s = shatter(t)
+    shim = _PoolShim(host_pool, name_off)
+    outs, ts = [], []
+    for _ in range(iters):
+        t0 = time.time()
+        out = pipeline_stage(s, shim)
+        ts.append(time.time() - t0)
+        outs.append(pafio.serialize_paf(out))
+    if any(o != outs[0] for o in outs[1:]):
+        log("ERROR: pipeline e2e output not deterministic!")
+        sys.exit(1)
+    cn = outs[0].count("cn:i:")
+    ids = len(set(line.split("cn:i:")[1].split("\t")[0]
+                  for line in outs[0].splitlines() if "cn:i:" in line))
+    if not (cn == len(s) and ids < cn):
+        log("ERROR: pipeline e2e did not form multi-member chains!")
+        sys.exit(1)
+    dt = min(ts)
+    log(f"pipeline e2e ({len(s)} shattered records): {dt:.1f}s -> "
+        f"{len(s)/dt:.0f} rec/s; deterministic, multi-member chains formed")
+    return len(s) / dt
+
+
 # ----------------------------------------------- end-to-end add_mismatches
 
 class _PoolShim:
@@ -379,6 +496,9 @@ def main():
     view_rec_s, view_vs, view_dev_vs, view_route = bench_view_e2e(
         text, host_pool, name_off, device)
     am_ops_s, am_vs = bench_am_e2e(text, host_pool, name_off)
+    chain_vs = bench_chain_device(t)
+    tile_vs = bench_tile_device(t)
+    pipe_rec_s = bench_pipeline_e2e(t, host_pool, name_off)
 
     print(json.dumps({
         "metric": "alignment_columns_per_second",
@@ -392,6 +512,9 @@ def main():
             "view_e2e_device_route_vs_single_thread_c": round(view_dev_vs, 3),
             "add_mismatches_e2e_cigar_ops_per_second": round(am_ops_s, 1),
             "add_mismatches_e2e_vs_single_thread": round(am_vs, 3),
+            "chain_device_vs_host": round(chain_vs, 3),
+            "tile_device_vs_host": round(tile_vs, 3),
+            "pipeline_e2e_records_per_second": round(pipe_rec_s, 1),
             "byte_equality_gates": "passed",
         },
     }))
