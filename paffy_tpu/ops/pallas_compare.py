@@ -2,16 +2,25 @@
 mismatch/stats hot loop (reference per-base walk impl/paf.c:754-768).
 
 STATUS: correct (cross-checked vs the C loop; tests run it in interpret
-mode), but BLOCKED on the current axon TPU toolchain for compiled execution:
-every *sliced* DMA source (1-D byte slices, 2-D row slices, 3-D leading
-index, pl.Element index maps) crashes the remote Mosaic compile helper with
-an internal error; only full-ref copies and pipeline (BlockSpec) DMAs
-compile.  Pipeline DMAs are block-granular and cost ~1.4 us/grid step
-(measured), so they cannot express this kernel's byte-granular per-run
-gathers.  The production fast path is the XLA tiled kernel (ops/tiled.py),
-which encodes the same ext-pool trick.  Revisit when the toolchain fixes
-sliced-DMA lowering — the design below then removes the remaining shift
-passes entirely.
+mode), but NOT the production path.  Two dated findings:
+
+2026-08-18: every *sliced* DMA source crashed the remote Mosaic compile
+helper; only full-ref copies and pipeline (BlockSpec) DMAs compiled.
+
+2026-08-19 re-probe (current toolchain): the crash is DTYPE-specific —
+dynamic-sliced DMA sources now COMPILE AND RUN for >=32-bit element types
+(``i32_pool.at[pl.ds(row, n)]`` works); u8 sources still kill the compile
+helper (HTTP 500, subprocess exit 1), and this kernel's byte-granular form
+stays blocked.  More importantly, the measured DMA economics rule out the
+design even via an i32-viewed pool: one DMA costs ~95 ns essentially flat
+in size (512 B rows -> 5.2-5.7 GB/s at NSLOT 8-16; 2 KB -> 20.8 GB/s),
+while XLA's row gather moves the same 512 B rows at ~9.4 GB/s random /
+15-20 GB/s on the production grid, and this kernel's RW=4096 pieces would
+pay the full 2x4 KB fetch on a median-421-column run (~19 B/col vs the
+2-bit XLA kernel's 1.4 B/col).  Per-descriptor issue cost is scalar-core
+serialized, so deeper rings do not help.  The production fast path remains
+the XLA tiled kernel (ops/tiled.py); revisit only if Mosaic gains
+sub-row-cost batched DMA issue or u8 sliced sources with vector issue.
 
 Why this exists: the XLA tiled kernel (ops/tiled.py) is bound by XLA's row
 gather, ~7 GB/s on TPU v5e — every chunk window is fetched through a gather
