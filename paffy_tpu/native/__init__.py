@@ -23,6 +23,7 @@ _failed = False
 
 _I64P = ctypes.POINTER(ctypes.c_longlong)
 _U8P = ctypes.POINTER(ctypes.c_ubyte)
+_U16P = ctypes.POINTER(ctypes.c_ushort)
 
 
 def _build() -> bool:
@@ -112,6 +113,15 @@ def get_lib():
                                                  _I64P, ctypes.c_longlong,
                                                  _I64P, _I64P,
                                                  ctypes.c_longlong]
+        lib.chain_dp.restype = None
+        lib.chain_dp.argtypes = [ctypes.c_longlong, _I64P, _I64P, _I64P,
+                                 _I64P, _I64P, _I64P, _I64P, _I64P,
+                                 ctypes.c_longlong, ctypes.c_longlong,
+                                 ctypes.c_longlong, _I64P, _I64P]
+        lib.tile_sweep.restype = None
+        lib.tile_sweep.argtypes = [ctypes.c_longlong, _I64P, _I64P, _I64P,
+                                   _I64P, _I64P, _U16P, ctypes.c_longlong,
+                                   _I64P]
         lib.column_encode_runs.restype = ctypes.c_longlong
         lib.column_encode_runs.argtypes = [_U8P, ctypes.c_longlong,
                                            _I64P, _I64P, _I64P, _U8P,
@@ -277,6 +287,51 @@ def column_compare_counts_mt(pool: np.ndarray, lens, qpos0, tpos0, rev, rec,
         _p_i64(np.ascontiguousarray(rec, dtype=np.int64)),
         n_records, _p_i64(m), _p_i64(x), _default_threads(n_threads))
     return m, x
+
+
+def chain_dp(qs, qe, ts, te, score, qe_order, lo, hi,
+             gap_open: int, gap_extend: int, max_gap: int):
+    """Windowed chain DP (host production path; exact _dp_numpy semantics
+    incl. the (target_end, query_end, index) tiebreak)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(qs)
+    cs = np.zeros(n, dtype=np.int64)
+    pred = np.zeros(n, dtype=np.int64)
+    lib.chain_dp(
+        n,
+        _p_i64(np.ascontiguousarray(qs, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qe, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(ts, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(te, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(score, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qe_order, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(lo, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(hi, dtype=np.int64)),
+        gap_open, gap_extend, max_gap, _p_i64(cs), _p_i64(pred))
+    return cs, pred
+
+
+def tile_sweep(order, arena_off, run_off, istart, iend,
+               arena: np.ndarray, saturation: int, levels: np.ndarray):
+    """Greedy tile sweep over the packed coverage arena (host production
+    path; exact _assign_tile_levels_host semantics).  Mutates ``arena`` and
+    ``levels`` in place; returns True when the native library ran."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    assert arena.dtype == np.uint16 and arena.flags.c_contiguous
+    assert levels.dtype == np.int64 and levels.flags.c_contiguous
+    lib.tile_sweep(
+        len(order),
+        _p_i64(np.ascontiguousarray(order, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(arena_off, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(run_off, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(istart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(iend, dtype=np.int64)),
+        arena.ctypes.data_as(_U16P), saturation, _p_i64(levels))
+    return True
 
 
 def column_encode_runs(pool: np.ndarray, lens, qpos0, tpos0, rev,

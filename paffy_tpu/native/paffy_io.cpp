@@ -12,6 +12,8 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC paffy_io.cpp -o libpaffy_io.so
 
+#include <algorithm>
+#include <climits>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -444,6 +446,87 @@ void column_compare_counts(const unsigned char* pool,
         }
         m_out[rec[j]] += m;
         x_out[rec[j]] += L - m;
+    }
+}
+
+// Windowed chain DP over one (qname,tname,strand) group — the host
+// production path of ops/chain._group_dp (semantics of _dp_numpy /
+// impl/chaining.c:150-214 exactly, including the tiebreak: among
+// best-value predecessors keep the largest (target_end, query_end, index)).
+// Inputs are precomputed by ops/chain._window_bounds: qe_order is the
+// qend-sort permutation, [lo[i], hi[i]) its candidate slice for record i.
+void chain_dp(long long n,
+              const long long* qs, const long long* qe,
+              const long long* ts, const long long* te,
+              const long long* score,
+              const long long* qe_order,
+              const long long* lo, const long long* hi,
+              long long gap_open, long long gap_extend, long long max_gap,
+              long long* cs_out, long long* pred_out) {
+    for (long long i = 0; i < n; ++i) {
+        cs_out[i] = score[i];
+        pred_out[i] = -1;
+        long long best = LLONG_MIN, bte = 0, bqe = 0, bidx = -1;
+        for (long long k = lo[i]; k < hi[i]; ++k) {
+            const long long j = qe_order[k];
+            if (j >= i) continue;               // processed before i only
+            // window guarantees 0 <= qgap <= max_gap (ops/chain.py:97-103)
+            const long long qgap = qs[i] - qe[j];
+            const long long tgap = ts[i] - te[j];
+            if (tgap < 0 || tgap > max_gap) continue;
+            const long long g =
+                (qgap + tgap == 0) ? 0 : gap_open + gap_extend * (qgap + tgap);
+            if (g >= score[i]) continue;        // impl/chaining.c:195
+            const long long val = score[i] + cs_out[j] - g;
+            if (val > best ||
+                (val == best && (te[j] > bte || (te[j] == bte &&
+                 (qe[j] > bqe || (qe[j] == bqe && j > bidx)))))) {
+                best = val;
+                bte = te[j]; bqe = qe[j]; bidx = j;
+            }
+        }
+        if (bidx >= 0 && best > score[i]) {
+            cs_out[i] = best;
+            pred_out[i] = bidx;
+        }
+    }
+}
+
+// Greedy tile sweep over a pre-packed uint16 coverage arena — the host
+// production path of ops/tile._assign_tile_levels_host (semantics of
+// impl/paf_tile.c:36-93,164-175: best-first order, per-base saturating
+// increments, tile level = median post-increment count over the record's
+// matched query bases; runs of one record are disjoint, so per-run
+// increments equal the numpy mask add).  arena_off[i] is the arena offset
+// of record i's sequence; [run_off[i], run_off[i+1]) index istart/iend
+// (absolute query coords).  levels_out is only written for covered records
+// (caller presets the empty-match sentinel).
+void tile_sweep(long long n_order, const long long* order,
+                const long long* arena_off,
+                const long long* run_off,
+                const long long* istart, const long long* iend,
+                unsigned short* arena, long long saturation,
+                long long* levels_out) {
+    std::vector<unsigned short> vals;
+    const unsigned short sat = (unsigned short)saturation;
+    for (long long oi = 0; oi < n_order; ++oi) {
+        const long long i = order[oi];
+        const long long r0 = run_off[i], r1 = run_off[i + 1];
+        if (r0 == r1) continue;
+        vals.clear();
+        for (long long r = r0; r < r1; ++r) {
+            unsigned short* w = arena + arena_off[i];
+            for (long long p = istart[r]; p < iend[r]; ++p) {
+                unsigned short c = w[p];
+                c = c < sat ? (unsigned short)(c + 1) : sat;
+                w[p] = c;
+                vals.push_back(c);
+            }
+        }
+        if (vals.empty()) continue;
+        const long long k = ((long long)vals.size() + 1) / 2;
+        std::nth_element(vals.begin(), vals.begin() + (k - 1), vals.end());
+        levels_out[i] = (long long)vals[k - 1];
     }
 }
 

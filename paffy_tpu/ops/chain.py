@@ -170,6 +170,15 @@ def _dp_scan(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos,
 def _group_dp(qs, qe, ts, te, score, gap_open, gap_extend, max_gap):
     n = len(qs)
     if n < DEVICE_GROUP_THRESHOLD:
+        # host production path: the native windowed sweep (the numpy
+        # per-record loop below is the oracle + no-toolchain fallback;
+        # measured 7.3 s -> ~0.1 s on the 185k-record shattered golden)
+        from paffy_tpu import native
+        qe_order, lo, hi = _window_bounds(qs, qe, max_gap)
+        res = native.chain_dp(qs, qe, ts, te, score, qe_order, lo, hi,
+                              gap_open, gap_extend, max_gap)
+        if res is not None:
+            return res
         return _dp_numpy(qs, qe, ts, te, score, gap_open, gap_extend, max_gap)
     qe_order, lo, hi = _window_bounds(qs, qe, max_gap)
     n_pad = bucket_size(n)

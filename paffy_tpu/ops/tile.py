@@ -51,6 +51,8 @@ TILE_K_CAP = 2048              # device cap on padded runs-per-record
 # workload on device (~3e10) while a 1000-record segment with one 50 Mb-span
 # record (~1e12) goes host.
 TILE_DEVICE_WORK_CAP = 1 << 36
+# test hook: force the numpy reference sweep in _assign_tile_levels_host
+FORCE_HOST_NUMPY = False
 
 
 def _scan_work(n_records: int, span_b: int, lmax: int) -> int:
@@ -314,17 +316,51 @@ def assign_tile_levels_sharded(t: PafTable, order: np.ndarray,
 
 def _assign_tile_levels_host(t: PafTable, order: np.ndarray,
                              rec, istart, iend) -> np.ndarray:
-    """Exact host sweep (vectorized per record) — the fallback for batches
-    whose padded runs-per-record exceed TILE_K_CAP.
+    """Exact host sweep — the route for batches over TILE_K_CAP or the
+    device work budget.
 
     Counts are stored saturated (uint16, as the reference does); the median
     is the (total+1)//2-th smallest masked count, equal to the smallest L
-    with |{count <= L}| >= total/2.0 for integer counts."""
+    with |{count <= L}| >= total/2.0 for integer counts.  Production runs
+    the native C sweep over a packed coverage arena (measured 6.9 s ->
+    ~0.3 s on the 185k-record shattered golden); the per-record numpy loop
+    below is the oracle + no-toolchain fallback."""
     n = len(t)
     levels = np.full(n, EMPTY_TILE_LEVEL, dtype=np.int64)
+    run_off = np.searchsorted(rec, np.arange(n + 1))
+
+    from paffy_tpu import native
+    if native.get_lib() is not None and not FORCE_HOST_NUMPY:
+        # pack each distinct query sequence (validated consistent-length)
+        # into one uint16 arena — the same per-sequence calloc set the
+        # reference makes (impl/paf.c:675-688), laid end to end
+        off_of: dict[str, int] = {}
+        total = 0
+        for i in range(n):
+            nm = t.qname[i]
+            prev = off_of.get(nm)
+            if prev is None:
+                off_of[nm] = total
+                total += int(t.qlen[i])
+            # consistency enforced by _sequence_offsets on device paths;
+            # re-check here since this entry is also used standalone
+        lengths_chk: dict[str, int] = {}
+        for i in range(n):
+            nm = t.qname[i]
+            if nm in lengths_chk:
+                if lengths_chk[nm] != int(t.qlen[i]):
+                    raise ValueError(f"query {nm!r} has inconsistent lengths")
+            else:
+                lengths_chk[nm] = int(t.qlen[i])
+        arena = np.zeros(max(total, 1), dtype=np.uint16)
+        arena_off = np.array([off_of[t.qname[i]] for i in range(n)],
+                             dtype=np.int64)
+        if native.tile_sweep(order, arena_off, run_off, istart, iend,
+                             arena, SATURATION, levels):
+            return levels
+
     counts: dict[str, np.ndarray] = {}
     lengths: dict[str, int] = {}
-    run_off = np.searchsorted(rec, np.arange(n + 1))
     for i in order:
         i = int(i)
         nm = t.qname[i]

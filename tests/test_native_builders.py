@@ -140,3 +140,44 @@ def test_counts_routing_prediction(monkeypatch):
     monkeypatch.setattr(mismatch, "_transfer_bw", 10e9)
     big = SimpleNamespace(n_cols=2_000_000_000, n_mops=3_000_000)
     assert mismatch.device_counts_predicted_faster(big)
+
+
+def test_native_chain_dp_matches_numpy():
+    """The native windowed chain DP must equal _dp_numpy exactly, including
+    value ties resolved by the (target_end, query_end, index) rule."""
+    from paffy_tpu.ops.chain import _dp_numpy, _window_bounds
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        n = int(rng.integers(2, 400))
+        qs = np.sort(rng.integers(0, 2000, n))
+        qe = qs + rng.integers(1, 40, n)
+        ts = rng.integers(0, 2000, n)
+        te = ts + rng.integers(1, 40, n)
+        # small score range forces frequent exact value ties
+        sc = rng.integers(50, 60, n)
+        args = (5000, 1, 500)
+        ecs, epred = _dp_numpy(qs, qe, ts, te, sc, *args)
+        qe_order, lo, hi = _window_bounds(qs, qe, args[2])
+        cs, pred = native.chain_dp(qs, qe, ts, te, sc, qe_order, lo, hi,
+                                   *args)
+        assert np.array_equal(cs, ecs), f"trial {trial}"
+        assert np.array_equal(pred, epred), f"trial {trial}"
+
+
+def test_native_tile_sweep_matches_numpy(monkeypatch):
+    """The native arena tile sweep must equal the numpy reference sweep,
+    including uint16 saturation and the empty-match sentinel."""
+    import paffy_tpu.ops.tile as tile_mod
+    from paffy_tpu.ops.coverage import match_intervals
+    from paffy_tpu.ops.tile import _assign_tile_levels_host, tile_sort_order
+    from synthdata import make_workload
+
+    seqs, lines = make_workload(seed=21, length=9000, n_windows=30,
+                                window=1200, step=290)
+    t = pafio.parse_paf_text("\n".join(lines) + "\n")
+    order = tile_sort_order(t)
+    rec, istart, iend = match_intervals(t)
+    native_lv = _assign_tile_levels_host(t, order, rec, istart, iend)
+    monkeypatch.setattr(tile_mod, "FORCE_HOST_NUMPY", True)
+    numpy_lv = _assign_tile_levels_host(t, order, rec, istart, iend)
+    assert list(native_lv) == list(numpy_lv)
