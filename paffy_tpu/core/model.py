@@ -192,12 +192,15 @@ class PafTable:
 
 
 def _range_gather(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
-    """Indices covering [starts[i], starts[i]+counts[i]) concatenated, vectorized."""
+    """Indices covering [starts[i], starts[i]+counts[i]) concatenated,
+    vectorized: repeat each range's (start - running offset) delta and add
+    a flat ramp (O(total); the earlier searchsorted form paid an extra
+    log-factor pass over the 13.6M-op shattered workload)."""
     total = int(counts.sum())
     if total == 0:
         return np.zeros(0, dtype=np.int64)
     out_off = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=out_off[1:])
     idx = np.arange(total, dtype=np.int64)
-    rec = np.searchsorted(np.append(out_off, total), idx, side="right") - 1
-    return starts[rec] + (idx - out_off[rec])
+    idx += np.repeat(starts - out_off, counts)
+    return idx

@@ -24,6 +24,7 @@ _failed = False
 _I64P = ctypes.POINTER(ctypes.c_longlong)
 _U8P = ctypes.POINTER(ctypes.c_ubyte)
 _U16P = ctypes.POINTER(ctypes.c_ushort)
+_F32P = ctypes.POINTER(ctypes.c_float)
 
 
 def _build() -> bool:
@@ -122,6 +123,9 @@ def get_lib():
         lib.tile_sweep.argtypes = [ctypes.c_longlong, _I64P, _I64P, _I64P,
                                    _I64P, _I64P, _U16P, ctypes.c_longlong,
                                    _I64P]
+        lib.trim_counts.restype = None
+        lib.trim_counts.argtypes = [ctypes.c_longlong, _I64P, _U8P, _I64P,
+                                    _F32P, _F32P, _I64P, _I64P]
         lib.column_encode_runs.restype = ctypes.c_longlong
         lib.column_encode_runs.argtypes = [_U8P, ctypes.c_longlong,
                                            _I64P, _I64P, _I64P, _U8P,
@@ -332,6 +336,27 @@ def tile_sweep(order, arena_off, run_off, istart, iend,
         _p_i64(np.ascontiguousarray(iend, dtype=np.int64)),
         arena.ctypes.data_as(_U16P), saturation, _p_i64(levels))
     return True
+
+
+def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim):
+    """Per-record leading-ops-to-drop of the unreliable-tail trim (host
+    production path; exact ops/tailtrim._trim_counts semantics)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(off) - 1
+    out = np.zeros(n, dtype=np.int64)
+    lib.trim_counts(
+        n, _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(is_match, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        np.ascontiguousarray(thr_f32, dtype=np.float32).ctypes
+            .data_as(_F32P),
+        np.ascontiguousarray(ident_f32, dtype=np.float32).ctypes
+            .data_as(_F32P),
+        _p_i64(np.ascontiguousarray(max_trim, dtype=np.int64)),
+        _p_i64(out))
+    return out
 
 
 def column_encode_runs(pool: np.ndarray, lens, qpos0, tpos0, rev,

@@ -492,6 +492,44 @@ void chain_dp(long long n,
     }
 }
 
+// Per-record unreliable-tail prefix-trim decision — the host production
+// path of ops/tailtrim._trim_counts (Bob Harris algorithm prefix half,
+// impl/paf.c:811-904).  Exact semantics of the numpy form: identities are
+// float32 divisions (NaN/inf comparisons fall out false as in IEEE), the
+// max_trim break runs BEFORE the op's identity test, trim_idx is the LAST
+// low-prefix op, and the re-included suffix start is the SMALLEST k whose
+// suffix identity >= the whole-record identity.
+void trim_counts(long long n_records, const long long* off,
+                 const unsigned char* is_match, const long long* lens,
+                 const float* thr, const float* ident,
+                 const long long* max_trim, long long* out) {
+    for (long long r = 0; r < n_records; ++r) {
+        const long long o0 = off[r], o1 = off[r + 1];
+        long long pm = 0, pmm = 0, trim_idx = -1, pm_ti = 0, pmm_ti = 0;
+        for (long long k = o0; k < o1; ++k) {
+            if (is_match[k]) pm += lens[k]; else pmm += lens[k];
+            const long long cols = pm + pmm;
+            if (max_trim[r] >= 0 && cols > max_trim[r]) break;
+            if ((float)pm / (float)cols < thr[r]) {
+                trim_idx = k - o0;
+                pm_ti = pm;
+                pmm_ti = pmm;
+            }
+        }
+        if (trim_idx < 0) { out[r] = 0; continue; }
+        long long best = trim_idx + 1, bm = 0, bmm = 0;
+        for (long long k = o0; k <= o0 + trim_idx; ++k) {
+            const long long suf_m = pm_ti - bm, suf_mm = pmm_ti - bmm;
+            if ((float)suf_m / (float)(suf_m + suf_mm) >= ident[r]) {
+                best = k - o0;
+                break;
+            }
+            if (is_match[k]) bm += lens[k]; else bmm += lens[k];
+        }
+        out[r] = best;
+    }
+}
+
 // Greedy tile sweep over a pre-packed uint16 coverage arena — the host
 // production path of ops/tile._assign_tile_levels_host (semantics of
 // impl/paf_tile.c:36-93,164-175: best-first order, per-base saturating

@@ -29,6 +29,9 @@ from paffy_tpu.core.model import PafTable, MATCH, QUERY_INSERT, QUERY_DELETE, SE
 from paffy_tpu.core.segsum import segment_ids_from_offsets, segment_sums_by_offsets
 from paffy_tpu.ops.transforms import invert, _reverse_csr
 
+# test hook: force the vectorized numpy reference form of _trim_counts
+FORCE_NUMPY = False
+
 
 def _match_mismatch_lens(ops: np.ndarray, lens: np.ndarray):
     is_match = (ops == MATCH) | (ops == SEQ_MATCH)
@@ -49,6 +52,16 @@ def _trim_counts(ops, lens, off, thr_f32, id_f32, max_trim):
     n = len(off) - 1
     if len(ops) == 0:
         return np.zeros(n, dtype=np.int64)
+    if not FORCE_NUMPY:
+        # host production path: one native pass per record (the vectorized
+        # numpy form below — the oracle + no-toolchain fallback — pays
+        # ~6 s of ufunc.at/astype passes on the 13.6M-op shattered golden)
+        from paffy_tpu import native
+        is_match = (ops == MATCH) | (ops == SEQ_MATCH)
+        res = native.trim_counts(off, is_match, lens, thr_f32, id_f32,
+                                 max_trim)
+        if res is not None:
+            return res
     seg = segment_ids_from_offsets(off, len(ops))
     m, mm = _match_mismatch_lens(ops, lens)
     pm = _seg_prefix(m, off, seg)

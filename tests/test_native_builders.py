@@ -181,3 +181,23 @@ def test_native_tile_sweep_matches_numpy(monkeypatch):
     monkeypatch.setattr(tile_mod, "FORCE_HOST_NUMPY", True)
     numpy_lv = _assign_tile_levels_host(t, order, rec, istart, iend)
     assert list(native_lv) == list(numpy_lv)
+
+
+def test_native_trim_counts_matches_numpy(monkeypatch):
+    """Native trim_counts must equal the vectorized numpy form across a
+    fuzzed workload (float32 identity comparisons, max_trim break, suffix
+    re-inclusion)."""
+    import paffy_tpu.ops.tailtrim as tt
+    from synthdata import make_workload
+
+    seqs, lines = make_workload(seed=31, length=20000, n_windows=24,
+                                window=2500, step=900)
+    t = pafio.parse_paf_text("\n".join(lines) + "\n")
+    from paffy_tpu.ops.mismatch import SequencePool, encode_mismatches
+    te = encode_mismatches(t, SequencePool(seqs))
+    for frac, maxf in ((0.05, 1.0), (0.3, 0.25), (0.0, 1.0)):
+        got = pafio.serialize_paf(tt.trim_unreliable_tails(te, frac, maxf))
+        monkeypatch.setattr(tt, "FORCE_NUMPY", True)
+        want = pafio.serialize_paf(tt.trim_unreliable_tails(te, frac, maxf))
+        monkeypatch.setattr(tt, "FORCE_NUMPY", False)
+        assert got == want, f"trim params {frac}/{maxf}"
