@@ -126,6 +126,9 @@ def get_lib():
         lib.trim_counts.restype = None
         lib.trim_counts.argtypes = [ctypes.c_longlong, _I64P, _U8P, _I64P,
                                     _F32P, _F32P, _I64P, _I64P]
+        lib.match_intervals.restype = ctypes.c_longlong
+        lib.match_intervals.argtypes = [ctypes.c_longlong, _I64P, _U8P,
+                                        _I64P, _I64P, _I64P, _I64P, _I64P]
         lib.column_encode_runs.restype = ctypes.c_longlong
         lib.column_encode_runs.argtypes = [_U8P, ctypes.c_longlong,
                                            _I64P, _I64P, _I64P, _U8P,
@@ -357,6 +360,25 @@ def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim):
         _p_i64(np.ascontiguousarray(max_trim, dtype=np.int64)),
         _p_i64(out))
     return out
+
+
+def match_intervals(off, ops, lens, qstart):
+    """(rec, start, end) aligned-run query intervals (host production path;
+    exact ops/coverage.match_intervals semantics)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_ops = len(ops)
+    rec = np.empty(n_ops, dtype=np.int64)
+    start = np.empty(n_ops, dtype=np.int64)
+    end = np.empty(n_ops, dtype=np.int64)
+    n = lib.match_intervals(
+        len(off) - 1, _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(ops, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qstart, dtype=np.int64)),
+        _p_i64(rec), _p_i64(start), _p_i64(end))
+    return rec[:n], start[:n], end[:n]
 
 
 def column_encode_runs(pool: np.ndarray, lens, qpos0, tpos0, rev,

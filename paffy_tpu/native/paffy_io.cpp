@@ -492,6 +492,32 @@ void chain_dp(long long n,
     }
 }
 
+// Aligned-run query intervals of a batch (ops/coverage.match_intervals):
+// one entry per M/=/X run, query coordinates by the reference's forward
+// walk from query_start (impl/paf.c:690-709).  Caller allocates rec/start/
+// end of size n_ops; returns the filled count.  Op codes: 1 = query
+// insert (advances query only), 2 = query delete (advances target only).
+long long match_intervals(long long n_records, const long long* off,
+                          const unsigned char* ops, const long long* lens,
+                          const long long* qstart,
+                          long long* rec, long long* start, long long* end) {
+    long long out = 0;
+    for (long long r = 0; r < n_records; ++r) {
+        long long q = qstart[r];
+        for (long long k = off[r]; k < off[r + 1]; ++k) {
+            const unsigned char op = ops[k];
+            if (op != 1 && op != 2) {       // aligned: M / = / X
+                rec[out] = r;
+                start[out] = q;
+                end[out] = q + lens[k];
+                ++out;
+            }
+            if (op != 2) q += lens[k];      // all but query_delete advance
+        }
+    }
+    return out;
+}
+
 // Per-record unreliable-tail prefix-trim decision — the host production
 // path of ops/tailtrim._trim_counts (Bob Harris algorithm prefix half,
 // impl/paf.c:811-904).  Exact semantics of the numpy form: identities are

@@ -201,3 +201,16 @@ def test_native_trim_counts_matches_numpy(monkeypatch):
         want = pafio.serialize_paf(tt.trim_unreliable_tails(te, frac, maxf))
         monkeypatch.setattr(tt, "FORCE_NUMPY", False)
         assert got == want, f"trim params {frac}/{maxf}"
+
+
+def test_native_match_intervals_matches_numpy(monkeypatch):
+    import paffy_tpu.ops.coverage as cov
+    from synthdata import make_workload
+    seqs, lines = make_workload(seed=41, length=9000, n_windows=24,
+                                window=1100, step=310)
+    t = pafio.parse_paf_text("\n".join(lines) + "\n")
+    got = cov.match_intervals(t)
+    monkeypatch.setattr(cov, "FORCE_NUMPY", True)
+    want = cov.match_intervals(t)
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
