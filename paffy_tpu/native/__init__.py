@@ -125,7 +125,7 @@ def get_lib():
                                    _I64P]
         lib.trim_counts.restype = None
         lib.trim_counts.argtypes = [ctypes.c_longlong, _I64P, _U8P, _I64P,
-                                    _F32P, _F32P, _I64P, _I64P]
+                                    _F32P, _F32P, _I64P, _U8P, _I64P]
         lib.match_intervals.restype = ctypes.c_longlong
         lib.match_intervals.argtypes = [ctypes.c_longlong, _I64P, _U8P,
                                         _I64P, _I64P, _I64P, _I64P, _I64P]
@@ -341,9 +341,12 @@ def tile_sweep(order, arena_off, run_off, istart, iend,
     return True
 
 
-def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim):
+def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim,
+                rev=None):
     """Per-record leading-ops-to-drop of the unreliable-tail trim (host
-    production path; exact ops/tailtrim._trim_counts semantics)."""
+    production path; exact ops/tailtrim._trim_counts semantics).  ``rev``
+    flips the scan direction per record — the suffix pass on the logically
+    inverted table."""
     lib = get_lib()
     if lib is None:
         return None
@@ -358,6 +361,8 @@ def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim):
         np.ascontiguousarray(ident_f32, dtype=np.float32).ctypes
             .data_as(_F32P),
         _p_i64(np.ascontiguousarray(max_trim, dtype=np.int64)),
+        None if rev is None
+        else _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
         _p_i64(out))
     return out
 

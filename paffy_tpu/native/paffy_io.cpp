@@ -525,29 +525,40 @@ long long match_intervals(long long n_records, const long long* off,
 // max_trim break runs BEFORE the op's identity test, trim_idx is the LAST
 // low-prefix op, and the re-included suffix start is the SMALLEST k whose
 // suffix identity >= the whole-record identity.
+// ``rev`` (nullable) flips the scan direction per record: the suffix pass
+// runs on the logically INVERTED record — same op order for same-strand
+// records, reversed for opposite-strand (paf_invert reverses the cigar
+// only when !same_strand, impl/paf.c:487-489) — without materializing the
+// inverted table.
 void trim_counts(long long n_records, const long long* off,
                  const unsigned char* is_match, const long long* lens,
                  const float* thr, const float* ident,
-                 const long long* max_trim, long long* out) {
+                 const long long* max_trim, const unsigned char* rev,
+                 long long* out) {
     for (long long r = 0; r < n_records; ++r) {
-        const long long o0 = off[r], o1 = off[r + 1];
+        const long long o0 = off[r], o1 = off[r + 1], n = o1 - o0;
+        const bool bw = rev != nullptr && rev[r];
+        const long long base = bw ? o1 - 1 : o0;
+        const long long step = bw ? -1 : 1;
         long long pm = 0, pmm = 0, trim_idx = -1, pm_ti = 0, pmm_ti = 0;
-        for (long long k = o0; k < o1; ++k) {
+        for (long long j = 0; j < n; ++j) {
+            const long long k = base + step * j;
             if (is_match[k]) pm += lens[k]; else pmm += lens[k];
             const long long cols = pm + pmm;
             if (max_trim[r] >= 0 && cols > max_trim[r]) break;
             if ((float)pm / (float)cols < thr[r]) {
-                trim_idx = k - o0;
+                trim_idx = j;
                 pm_ti = pm;
                 pmm_ti = pmm;
             }
         }
         if (trim_idx < 0) { out[r] = 0; continue; }
         long long best = trim_idx + 1, bm = 0, bmm = 0;
-        for (long long k = o0; k <= o0 + trim_idx; ++k) {
+        for (long long j = 0; j <= trim_idx; ++j) {
+            const long long k = base + step * j;
             const long long suf_m = pm_ti - bm, suf_mm = pmm_ti - bmm;
             if ((float)suf_m / (float)(suf_m + suf_mm) >= ident[r]) {
-                best = k - o0;
+                best = j;
                 break;
             }
             if (is_match[k]) bm += lens[k]; else bmm += lens[k];

@@ -159,6 +159,26 @@ def trim_unreliable_tails(t: PafTable, score_fraction: float,
     max_trim = np.trunc(cols.astype(np.float32)
                         * np.float32(max_fraction_to_trim)).astype(np.int64)
 
+    from paffy_tpu import native
+    if not FORCE_NUMPY and native.get_lib() is not None:
+        # production path: native direction-flagged scans and rebuilds only
+        # when something actually trims — the suffix decision runs on the
+        # LOGICALLY inverted table (op order reversed only for
+        # opposite-strand records, paf_invert impl/paf.c:487-489) without
+        # materializing the invert; the invert+_trim_upto rebuild happens
+        # only for batches with a nonzero suffix trim
+        is_match = ((t.ops == MATCH) | (t.ops == SEQ_MATCH))
+        tc = native.trim_counts(t.off, is_match, t.lens, thr_f32, id_f32,
+                                max_trim)
+        if tc.any():
+            t = _trim_upto(t, tc)
+            is_match = ((t.ops == MATCH) | (t.ops == SEQ_MATCH))
+        tc2 = native.trim_counts(t.off, is_match, t.lens, thr_f32, id_f32,
+                                 max_trim, rev=~t.strand)
+        if tc2.any():
+            t = invert(_trim_upto(invert(t), tc2))
+        return t
+
     with np.errstate(invalid="ignore", divide="ignore"):
         tc = _trim_counts(t.ops, t.lens, t.off, thr_f32, id_f32, max_trim)
         t = _trim_upto(t, tc)
