@@ -18,6 +18,8 @@ single-process commands, so the shell tests' oracles apply unchanged.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from paffy_tpu.core.model import PafTable
@@ -129,11 +131,27 @@ def run_pipeline(t: PafTable, seqs: dict[str, str], n_shards: int = 1,
     # process shards (on a pod: one per host); keep outputs per group so the
     # final order is group order regardless of shard assignment
     out_by_group: dict[int, PafTable] = {}
-    for shard in shards:
-        for gi in shard:
-            sub = t.take(groups[gi])
-            out_by_group[gi] = (pipeline_stage(sub, pool) if mesh is None
-                                else sharded_pipeline_stage(sub, pool, mesh))
+
+    def run_group(gi: int) -> None:
+        sub = t.take(groups[gi])
+        out_by_group[gi] = (pipeline_stage(sub, pool) if mesh is None
+                            else sharded_pipeline_stage(sub, pool, mesh))
+
+    order = [gi for shard in shards for gi in shard]
+    n_workers = min(len(order), int(os.environ.get(
+        "PAFFY_TPU_PIPELINE_THREADS", min(os.cpu_count() or 1, 4))))
+    if mesh is None and n_workers > 1:
+        # host path: shards are independent and the hot sweeps are native
+        # C (GIL released during ctypes calls), so shard-level threads give
+        # real parallelism — the in-process analog of the reference's
+        # background shard jobs (tests/paf_pipeline_test.sh:50-67); output
+        # order is group order regardless of completion order
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_workers) as ex:
+            list(ex.map(run_group, order))
+    else:
+        for gi in order:
+            run_group(gi)
     outs = [out_by_group[gi] for gi in range(len(groups))]
     return concat_tables(outs)
 
