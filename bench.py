@@ -319,7 +319,7 @@ def bench_chain_device(t, iters=3):
     a single 150k-step scan does not compile on this toolchain,
     docs/PERF_NOTES.md).  Identical (cs, pred) asserted per group."""
     from paffy_tpu.ops.transforms import shatter
-    from paffy_tpu.ops.chain import _dp_numpy, chain_groups_device
+    from paffy_tpu.ops.chain import _group_dp, chain_groups_device
 
     s = shatter(t)
     groups = []
@@ -332,7 +332,9 @@ def bench_chain_device(t, iters=3):
             groups.append((s.qstart[w], s.qend[w], s.tstart[w], s.tend[w],
                            (s.qend[w] - s.qstart[w]).astype(np.int64)))
     args = (5000, 1, 1_000_000)
-    host = [_dp_numpy(*g, *args) for g in groups]
+    # host = the PRODUCTION host route (_group_dp: native windowed DP,
+    # numpy fallback without a toolchain) — the honest comparison target
+    host = [_group_dp(*g, *args) for g in groups]
     t0 = time.time()
     dev = chain_groups_device(groups, *args)    # compile (persistent cache)
     compile_s = time.time() - t0
@@ -344,16 +346,19 @@ def bench_chain_device(t, iters=3):
     for _ in range(iters):   # interleaved (docs/PERF_NOTES.md methodology)
         t0 = time.time()
         for g in groups:
-            _dp_numpy(*g, *args)
+            _group_dp(*g, *args)
         host_ts.append(time.time() - t0)
         t0 = time.time()
         chain_groups_device(groups, *args)
         dev_ts.append(time.time() - t0)
     t_host, t_dev = min(host_ts), min(dev_ts)
+    xfer = sum(sum(a.nbytes for a in g) for g in groups) * 2  # + windows
     log(f"chain DP ({len(s)} shattered records, {len(groups)} groups x "
-        f"<=2048): host {t_host:.2f}s, device {t_dev:.2f}s "
-        f"(first call {compile_s:.0f}s incl. compile) -> "
-        f"device/host {t_host/t_dev:.2f}x; results identical")
+        f"<=2048): production host {t_host:.2f}s, device {t_dev:.2f}s "
+        f"(first call {compile_s:.0f}s incl. compile; device time is "
+        f"~{xfer/1e6:.0f} MB of per-call group arrays over this link — "
+        f"kernel itself ~0.3 s) -> device/host {t_host/t_dev:.2f}x; "
+        f"results identical")
     return t_host / t_dev
 
 
@@ -390,9 +395,10 @@ def bench_tile_device(t, iters=3):
     finally:
         tile_mod.TILE_K_CAP = old_cap
     t_host, t_dev = min(host_ts), min(dev_ts)
-    log(f"tile sweep ({len(t)} records): host {t_host:.2f}s, device "
-        f"{t_dev:.2f}s (first call {compile_s:.0f}s incl. compile) -> "
-        f"device/host {t_host/t_dev:.2f}x; levels identical")
+    log(f"tile sweep ({len(t)} records): production host {t_host:.2f}s, "
+        f"device {t_dev:.2f}s (first call {compile_s:.0f}s incl. compile; "
+        f"device time is dominated by the [207, 16k] interval upload on "
+        f"this link) -> device/host {t_host/t_dev:.2f}x; levels identical")
     return t_host / t_dev
 
 
