@@ -254,6 +254,22 @@ def paf_check(t: PafTable, idx=None) -> None:
     n = len(t)
     if n == 0:
         return
+    if idx is None:
+        # production path: one native pass (same checks, same first-record
+        # error text; the vectorized form below is the fallback)
+        from paffy_tpu import native
+        res = native.paf_check_batch(t)
+        if res is not None:
+            bad, code = res
+            if bad >= 0:
+                msgs = ("Paf query start coordinates are invalid",
+                        "Paf query end coordinates are invalid",
+                        "Paf target start coordinates are invalid",
+                        "Paf target end coordinates are invalid",
+                        "Paf cigar alignment does not match query length",
+                        "Paf cigar alignment does not match target length")
+                raise PafCheckError(f"{msgs[code]}, {format_record(t, bad)}")
+            return
     sel = np.arange(n) if idx is None else np.asarray(idx)
     bad = (t.qstart[sel] < 0) | (t.qstart[sel] >= t.qlen[sel])
     _raise_first(t, sel, bad, "Paf query start coordinates are invalid")

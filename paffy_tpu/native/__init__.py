@@ -129,6 +129,10 @@ def get_lib():
         lib.match_intervals.restype = ctypes.c_longlong
         lib.match_intervals.argtypes = [ctypes.c_longlong, _I64P, _U8P,
                                         _I64P, _I64P, _I64P, _I64P, _I64P]
+        lib.paf_check_batch.restype = ctypes.c_longlong
+        lib.paf_check_batch.argtypes = [ctypes.c_longlong, _I64P, _U8P,
+                                        _I64P, _I64P, _I64P, _I64P, _I64P,
+                                        _I64P, _I64P, _U8P, _I64P]
         lib.column_encode_runs.restype = ctypes.c_longlong
         lib.column_encode_runs.argtypes = [_U8P, ctypes.c_longlong,
                                            _I64P, _I64P, _I64P, _U8P,
@@ -365,6 +369,28 @@ def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim,
         else _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
         _p_i64(out))
     return out
+
+
+def paf_check_batch(t):
+    """(first_bad_record, code) validation sweep, or None without a
+    toolchain.  Codes index core/pafio's error-message table."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    code = np.zeros(1, dtype=np.int64)
+    bad = lib.paf_check_batch(
+        len(t.qstart), _p_i64(np.ascontiguousarray(t.off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(t.ops, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(t.lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.qstart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.qend, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.qlen, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.tstart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.tend, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.tlen, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(t.has_cigar, dtype=np.uint8)),
+        _p_i64(code))
+    return int(bad), int(code[0])
 
 
 def match_intervals(off, ops, lens, qstart):

@@ -492,6 +492,34 @@ void chain_dp(long long n,
     }
 }
 
+// Batch validation (core/pafio.paf_check <-> impl/paf.c:427-461): bounds
+// checks plus cigar query/target consumption vs end-start.  Returns the
+// first bad record index (writing its error code 0..5 to *code) or -1.
+long long paf_check_batch(long long n_records, const long long* off,
+                          const unsigned char* ops, const long long* lens,
+                          const long long* qstart, const long long* qend,
+                          const long long* qlen,
+                          const long long* tstart, const long long* tend,
+                          const long long* tlen,
+                          const unsigned char* has_cigar,
+                          long long* code) {
+    for (long long r = 0; r < n_records; ++r) {
+        if (qstart[r] < 0 || qstart[r] >= qlen[r]) { *code = 0; return r; }
+        if (qstart[r] > qend[r] || qend[r] > qlen[r]) { *code = 1; return r; }
+        if (tstart[r] < 0 || tstart[r] >= tlen[r]) { *code = 2; return r; }
+        if (tstart[r] > tend[r] || tend[r] > tlen[r]) { *code = 3; return r; }
+        if (!has_cigar[r]) continue;
+        long long q = 0, t = 0;
+        for (long long k = off[r]; k < off[r + 1]; ++k) {
+            if (ops[k] != 2) q += lens[k];   // all but query_delete
+            if (ops[k] != 1) t += lens[k];   // all but query_insert
+        }
+        if (q != qend[r] - qstart[r]) { *code = 4; return r; }
+        if (t != tend[r] - tstart[r]) { *code = 5; return r; }
+    }
+    return -1;
+}
+
 // Aligned-run query intervals of a batch (ops/coverage.match_intervals):
 // one entry per M/=/X run, query coordinates by the reference's forward
 // walk from query_start (impl/paf.c:690-709).  Caller allocates rec/start/
