@@ -1,0 +1,86 @@
+"""Error-path parity vs the compiled reference: both implementations must
+REJECT the same malformed inputs (nonzero exit).  Exit codes and message
+formats differ by design (st_errAbort/assert vs exceptions), so only the
+accept/reject decision is compared.
+"""
+
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                       / "tools" / "refbuild"))
+from build import build_reference  # noqa: E402
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def ref():
+    bins = build_reference()
+    if bins is None:
+        pytest.skip("no native toolchain / reference tree")
+    return bins
+
+
+def rc_theirs(binary, argv, stdin: bytes = b"") -> int:
+    return subprocess.run([binary, *argv], input=stdin,
+                          capture_output=True, timeout=120).returncode
+
+
+def rc_ours(cmd, argv, stdin: bytes = b"") -> int:
+    import os
+    env = dict(os.environ)
+    env["PAFFY_TPU_PLATFORM"] = "cpu"
+    return subprocess.run([str(REPO / "bin" / cmd), *argv], input=stdin,
+                          capture_output=True, timeout=600,
+                          env=env).returncode
+
+
+GOOD = ("q\t100\t0\t10\t+\tt\t100\t0\t10\t10\t10\t60\tcg:Z:10M\n").encode()
+BAD_STRAND = GOOD.replace(b"\t+\t", b"\t?\t")
+BAD_CIGAR_CHAR = GOOD.replace(b"10M", b"10Q")
+BAD_CIGAR_SPAN = GOOD.replace(b"10M", b"9M")       # paf_check: span mismatch
+BAD_COORD = GOOD.replace(b"\t0\t10\t+", b"\t90\t110\t+")
+
+
+@pytest.mark.parametrize("label,data", [
+    ("good", GOOD),
+    ("bad_strand", BAD_STRAND),
+    ("bad_cigar_char", BAD_CIGAR_CHAR),
+])
+def test_parse_error_parity(ref, label, data, tmp_path):
+    """invert parses + checks every record on both sides."""
+    theirs = rc_theirs(ref["paffy"], ["invert"], data)
+    ours = rc_ours("paffy", ["invert"], data)
+    assert (theirs == 0) == (ours == 0), (
+        f"{label}: reference rc {theirs}, ours rc {ours}")
+
+
+@pytest.mark.parametrize("label,data", [
+    ("bad_cigar_span", BAD_CIGAR_SPAN),
+    ("bad_coord", BAD_COORD),
+])
+def test_check_error_parity(ref, label, data):
+    theirs = rc_theirs(ref["paffy"], ["invert"], data)
+    ours = rc_ours("paffy", ["invert"], data)
+    assert theirs != 0 and ours != 0, (
+        f"{label}: reference rc {theirs}, ours rc {ours} — both must reject")
+
+
+def test_missing_sequence_parity(ref, tmp_path):
+    paf = tmp_path / "in.paf"
+    paf.write_bytes(GOOD)
+    fasta = tmp_path / "seqs.fa"
+    fasta.write_text(">other\nACGT\n")   # neither q nor t present
+    theirs = rc_theirs(ref["paffy"],
+                       ["view", "-i", str(paf), str(fasta), "-s", "-t"])
+    ours = rc_ours("paffy", ["view", "-i", str(paf), str(fasta), "-s", "-t"])
+    assert theirs != 0 and ours != 0
+
+
+def test_unknown_subcommand_parity(ref):
+    assert rc_theirs(ref["paffy"], ["frobnicate"]) != 0
+    assert rc_ours("paffy", ["frobnicate"]) != 0
