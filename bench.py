@@ -459,7 +459,11 @@ def am_e2e(big_text, shim, n_threads):
     return out, time.time() - t0, int(t.off[-1])
 
 
-def bench_am_e2e(text, host_pool, name_off, iters=3):
+def bench_am_e2e(text, host_pool, name_off, iters=5):
+    # 5 interleaved iterations: this host's effective core count swings
+    # minute to minute, and the production (threaded) route only shows its
+    # margin in windows with both vCPUs available — min-of-5 samples more
+    # load windows than min-of-3 (docs/PERF_NOTES.md timing section)
     big = text * REP_AM
     shim = _PoolShim(host_pool, name_off)
     base_out, _, n_ops = am_e2e(big, shim, n_threads=1)
