@@ -11,14 +11,18 @@ from paffy_tpu.core.fasta import read_fasta_list, read_fasta, write_fasta_record
 from paffy_tpu.utils.logging import log_info, log_debug, log_critical, set_log_level_from_string
 from paffy_tpu.utils.logging import CommandTimer
 
-_ACGTN = frozenset("acgtnACGTN")
+_ACGTN_BYTES = b"acgtnACGTN"
 
 
 def _check_acgtn(seq: str, context: str) -> None:
-    """ACGTN-only sanity check (impl/fasta_chunk.c:91-94, fasta_extract.c:42-45)."""
-    bad = set(seq) - _ACGTN
-    if bad:
-        raise ValueError(f"non-ACGTN character(s) {sorted(bad)} in {context}")
+    """ACGTN-only sanity check (impl/fasta_chunk.c:91-94, fasta_extract.c:42-45).
+
+    bytes.translate with a delete table runs at GB/s; building a set of a
+    30 MB chunk's characters cost ~3-5 s per 264 MB genome."""
+    residue = seq.encode("latin-1", "replace").translate(None, _ACGTN_BYTES)
+    if residue:
+        bad = sorted(set(residue.decode("latin-1")))
+        raise ValueError(f"non-ACGTN character(s) {bad} in {context}")
 
 
 def chunk_main(argv) -> int:
