@@ -485,6 +485,8 @@ def bench_am_e2e(text, host_pool, name_off, iters=5):
 
 
 def main():
+    from paffy_tpu.jaxconf import ensure_jax
+    ensure_jax()
     t, text = load_workload()
     b, pool_size, name_off = build_columns(t)
     log(f"workload: {b.n_cols} alignment columns over {b.n_mops} M runs; "

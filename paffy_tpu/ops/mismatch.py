@@ -21,8 +21,6 @@ from dataclasses import replace
 from functools import partial
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from paffy_tpu.core.model import PafTable, MATCH, SEQ_MATCH, SEQ_MISMATCH
 from paffy_tpu.core.fasta import COMPLEMENT_TABLE, UPPER_TABLE, pack_sequences
@@ -30,105 +28,28 @@ from paffy_tpu.core.segsum import segment_sums_by_offsets
 from paffy_tpu.ops.segments import (build_m_column_batch, columns_to_ops,
                                     bucket_size, pad_to)
 
-def device_upper(c):
-    """toupper as arithmetic (a 256-entry table gather with ~1e8 u8 indices
-    serializes on TPU — measured 8.5s/call; this select runs at VPU speed)."""
-    return jnp.where((c >= 97) & (c <= 122), c - 32, c)
+# Device kernels live in ops/mismatch_device (imported lazily so host-routed
+# commands never pay the JAX import; see paffy_tpu/jaxconf.py).  The names
+# below remain importable from this module for compatibility.
+_DEVICE_NAMES = ("device_upper", "device_comp_upper", "build_ext_pool",
+                 "_column_compare", "_column_match_counts", "_column_runs")
 
 
-# complement pairs over UPPERCASED bases (IUPAC; W/S/N/X are self-complement)
-_COMP_PAIRS = ((65, 84), (67, 71), (77, 75), (82, 89), (86, 66), (72, 68))
+def __getattr__(name):
+    if name in _DEVICE_NAMES:
+        from paffy_tpu.ops import mismatch_device
+        return getattr(mismatch_device, name)
+    raise AttributeError(name)
 
 
-def device_comp_upper(cu):
-    """Complement of an uppercased base as a select chain (table-free).
-
-    Equivalent to toupper(stString_reverseComplementChar(c)) because the
-    complement table is case-symmetric; characters outside the IUPAC set map
-    to themselves in both formulations.
-    """
-    out = cu
-    for a, b in _COMP_PAIRS:
-        out = jnp.where(cu == a, jnp.uint8(b),
-                        jnp.where(cu == b, jnp.uint8(a), out))
-    return out
-
-
-@jax.jit
-def build_ext_pool(pool):
-    """pool u8 [L] -> extended pool [2L]: upper(pool) ++ comp(upper(flip(pool))).
-
-    One dense XLA pass.  The compare kernels read both sides from this array
-    and reduce to a PURE byte equality: case folding is pre-applied to both
-    halves, and a reverse-complement query walk from pool position s is an
-    ascending plain read at ext[2L-1-s] — eliminating the flip, complement,
-    and case-fold elementwise passes that otherwise dominate kernel time
-    (measured: the compare math, not the gathers, was ~60% of the tiled
-    kernel before this).
-    """
-    up = device_upper(pool)
-    return jnp.concatenate([up, device_comp_upper(jnp.flip(up))])
-
-
-@partial(jax.jit, static_argnames=("c_pad",))
-def _column_compare(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad):
-    """Per-column match/boundary flags for all M runs of a batch.
-
-    Returns (is_match[c_pad] bool, col_op[c_pad] int32, valid[c_pad] bool).
-    """
-    col_op = columns_to_ops(col_off, c_pad=c_pad)
-    cols = jnp.arange(c_pad, dtype=col_off.dtype)
-    i = cols - col_off[col_op]
-    valid = cols < n_cols
-    tpos = tpos0[col_op] + i
-    qpos = qpos0[col_op] + jnp.where(rev[col_op], -i, i)
-    # clamp for padded columns (gathers must stay in-bounds)
-    limit = pool.shape[0] - 1
-    tb = device_upper(pool[jnp.clip(tpos, 0, limit)])
-    qb = device_upper(pool[jnp.clip(qpos, 0, limit)])
-    qb = jnp.where(rev[col_op], device_comp_upper(qb), qb)
-    is_match = tb == qb
-    return is_match, col_op, valid
-
-
-@partial(jax.jit, static_argnames=("c_pad",))
-def _column_match_counts(pool, lens, qpos0, tpos0, rev, col_off, rec_col_off,
-                         n_cols, c_pad):
-    """Fused: per-record (match, mismatch) column counts over all M runs.
-
-    Columns are laid out in record order, so the per-record reduction is a
-    cumsum + gather at the record column boundaries (rec_col_off) — scatter
-    segment-sums with ~1e8 update elements serialize on TPU and must not be
-    used here.
-    """
-    is_match, col_op, valid = _column_compare(
-        pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad)
-    cm = jnp.cumsum((is_match & valid).astype(jnp.int32))
-    cv = jnp.cumsum(valid.astype(jnp.int32))
-    zero = jnp.zeros(1, dtype=jnp.int32)
-    cm0 = jnp.concatenate([zero, cm])
-    cv0 = jnp.concatenate([zero, cv])
-    bounds = jnp.clip(rec_col_off, 0, c_pad)
-    m = (cm0[bounds[1:]] - cm0[bounds[:-1]]).astype(jnp.int64)
-    tot = (cv0[bounds[1:]] - cv0[bounds[:-1]]).astype(jnp.int64)
-    return m, tot - m
-
-
-@partial(jax.jit, static_argnames=("c_pad",))
-def _column_runs(pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad):
-    """Fused: run decomposition of the match/mismatch column sequence.
-
-    Returns (boundary[c_pad] bool, is_match[c_pad] bool, valid[c_pad] bool):
-    boundary marks the first column of each output =/X run (run starts at
-    every M-op start and at every match-state flip).
-    """
-    is_match, col_op, valid = _column_compare(
-        pool, lens, qpos0, tpos0, rev, col_off, n_cols, c_pad)
-    cols = jnp.arange(c_pad, dtype=col_off.dtype)
-    op_start = cols == col_off[col_op]
-    flip = jnp.concatenate([jnp.ones(1, dtype=bool), is_match[1:] != is_match[:-1]])
-    boundary = (op_start | flip) & valid
-    return boundary, is_match, valid
+# alphabet membership LUTs over UPPERCASED bytes (host-side routing flags;
+# the device kernels' _code4/ACGT tests agree by construction)
+_IUPAC15_OK = np.zeros(256, dtype=bool)
+for _ch in b"ACGTNMKRYVBHDWS":
+    _IUPAC15_OK[_ch] = True
+_ACGT_OK = np.zeros(256, dtype=bool)
+for _ch in b"ACGT":
+    _ACGT_OK[_ch] = True
 
 
 class SequencePool:
@@ -158,7 +79,7 @@ class SequencePool:
         self._guard = POOL_GUARD
         self._data_len = len(pool_np)
         self._pool_np = buf
-        self.pool = jnp.asarray(buf)
+        self._pool_dev = None
         self._ext = None
         self._packed = None
         self._packed2 = None
@@ -166,9 +87,25 @@ class SequencePool:
         self._has_exotic2 = None
 
     @property
+    def pool(self):
+        """The guarded pool as a device array (uploaded lazily — host-routed
+        commands never touch the device)."""
+        if self._pool_dev is None:
+            from paffy_tpu.ops import mismatch_device  # noqa: F401 (jax init)
+            import jax.numpy as jnp
+            self._pool_dev = jnp.asarray(self._pool_np)
+        return self._pool_dev
+
+    @property
+    def pool_len(self) -> int:
+        """Padded pool length (== pool.shape[0], without touching device)."""
+        return len(self._pool_np)
+
+    @property
     def ext(self):
         """Extended pool (build_ext_pool), built lazily and cached."""
         if self._ext is None:
+            from paffy_tpu.ops.mismatch_device import build_ext_pool
             self._ext = build_ext_pool(self.pool)
         return self._ext
 
@@ -182,10 +119,11 @@ class SequencePool:
         """True iff any sequence byte (case-folded) is outside the 15-char
         IUPAC set the 4-bit packed kernel can represent exactly."""
         if self._has_exotic is None:
-            from paffy_tpu.ops.tiled import _code4
-            data = jax.lax.dynamic_slice(self.ext, (self._guard,),
-                                         (max(self._data_len, 1),))
-            self._has_exotic = bool(np.asarray(jnp.any(_code4(data) == 15)))
+            # host pass (one LUT gather + any) — routing must not force a
+            # device upload; semantics match tiled._code4 == 15
+            data = UPPER_TABLE[
+                self._pool_np[self._guard: self._guard + self._data_len]]
+            self._has_exotic = bool(np.any(~_IUPAC15_OK[data]))
         return self._has_exotic
 
     @property
@@ -201,12 +139,9 @@ class SequencePool:
         """True iff any sequence byte (case-folded) is outside ACGT — the
         set the 2-bit packed kernel can represent exactly."""
         if self._has_exotic2 is None:
-            data = jax.lax.dynamic_slice(self.ext, (self._guard,),
-                                         (max(self._data_len, 1),))
-            ok = jnp.zeros(data.shape, bool)
-            for ch in b"ACGT":
-                ok = ok | (data == ch)
-            self._has_exotic2 = bool(np.asarray(jnp.any(~ok)))
+            data = UPPER_TABLE[
+                self._pool_np[self._guard: self._guard + self._data_len]]
+            self._has_exotic2 = bool(np.any(~_ACGT_OK[data]))
         return self._has_exotic2
 
     @property
@@ -272,6 +207,9 @@ def transfer_bandwidth() -> float:
         if env:
             _transfer_bw = float(env)
         else:
+            from paffy_tpu.jaxconf import ensure_jax
+            ensure_jax()
+            import jax
             data = np.zeros(8 << 20, dtype=np.uint8)
             t0 = time.perf_counter()
             jax.device_put(data).block_until_ready()
@@ -282,6 +220,12 @@ def transfer_bandwidth() -> float:
 def _compute_platform() -> str:
     """Platform of the device batches actually dispatch to (the pinned
     default device if set, else the default backend)."""
+    import os
+    if os.environ.get("PAFFY_TPU_PLATFORM"):
+        return os.environ["PAFFY_TPU_PLATFORM"]   # pin known without jax
+    from paffy_tpu.jaxconf import ensure_jax
+    ensure_jax()
+    import jax
     dd = jax.config.jax_default_device
     return dd.platform if dd is not None else jax.default_backend()
 
@@ -305,7 +249,7 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
     if b.n_cols == 0:
         z = np.zeros(len(t), dtype=np.int64)
         return z, z.copy()
-    plen = pool.pool.shape[0]
+    plen = pool.pool_len
     if b.n_cols >= TILED_THRESHOLD:
         # bandwidth-aware routing: big batches go native when the link
         # upload would dominate (both routes byte-identical; FORCE_DEVICE
@@ -356,7 +300,9 @@ def column_match_counts(t: PafTable, pool: SequencePool) -> tuple[np.ndarray, np
             len(t))
         if res is not None:
             return res
-    m, x = _column_match_counts(
+    from paffy_tpu.ops import mismatch_device as dev
+    import jax.numpy as jnp
+    m, x = dev._column_match_counts(
         pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0), jnp.asarray(b.tpos0),
         jnp.asarray(b.rev), jnp.asarray(b.col_off), jnp.asarray(b.rec_col_off),
         b.n_cols, c_pad=b.n_cols_pad)
@@ -419,7 +365,9 @@ def encode_mismatches(t: PafTable, pool: SequencePool,
         from paffy_tpu.ops.tiled import tiled_runs
         starts, match_at_start = tiled_runs(pool.ext, b, len(t))
     else:
-        boundary, is_match, valid = _column_runs(
+        from paffy_tpu.ops import mismatch_device as dev
+        import jax.numpy as jnp
+        boundary, is_match, valid = dev._column_runs(
             pool.pool, jnp.asarray(b.lens), jnp.asarray(b.qpos0),
             jnp.asarray(b.tpos0), jnp.asarray(b.rev), jnp.asarray(b.col_off),
             b.n_cols, c_pad=b.n_cols_pad)

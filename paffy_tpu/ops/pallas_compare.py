@@ -69,6 +69,10 @@ from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
+from paffy_tpu.jaxconf import ensure_jax
+
+ensure_jax()
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

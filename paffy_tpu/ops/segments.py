@@ -15,8 +15,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from paffy_tpu.core.model import (PafTable, MATCH, QUERY_INSERT, QUERY_DELETE,
                                   SEQ_MATCH, SEQ_MISMATCH)
@@ -176,22 +174,46 @@ def _build_m_column_batch_native(t: PafTable, qpool_off, tpool_off,
         n_cols_pad=col_bucket or bucket_size(max(n_cols, 1)))
 
 
-from functools import partial
+_device = None
 
 
-@partial(jax.jit, static_argnames=("c_pad",))
-def columns_to_ops(col_off: jnp.ndarray, c_pad: int) -> jnp.ndarray:
+def _dev():
+    """Lazy device-helper module (keeps this batch builder JAX-free for
+    host-only commands; see paffy_tpu/jaxconf.py)."""
+    global _device
+    if _device is None:
+        from paffy_tpu.jaxconf import ensure_jax
+        ensure_jax()
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        class _D:
+            @staticmethod
+            @partial(jax.jit, static_argnames=("c_pad",))
+            def columns_to_ops(col_off, c_pad):
+                marks = jnp.zeros(c_pad, dtype=jnp.int32)
+                starts = col_off[1:-1]
+                marks = marks.at[starts].add(
+                    jnp.ones(starts.shape[0], jnp.int32), mode="drop")
+                return jnp.cumsum(marks)
+
+            @staticmethod
+            def segment_sum(values, seg_ids, num_segments):
+                return jax.ops.segment_sum(values, seg_ids,
+                                           num_segments=num_segments)
+        _device = _D
+    return _device
+
+
+def columns_to_ops(col_off, c_pad):
     """Map each column index -> owning M-op index via scatter + cumsum.
 
     col_off: [n_mops+1] exclusive column offsets. Returns int32 [c_pad].
     (Columns past the true count map past the last real op; callers mask.)
     """
-    marks = jnp.zeros(c_pad, dtype=jnp.int32)
-    starts = col_off[1:-1]
-    # marks[p] = number of op starts at column p; cumsum -> op owning column c
-    marks = marks.at[starts].add(jnp.ones(starts.shape[0], jnp.int32), mode="drop")
-    return jnp.cumsum(marks)
+    return _dev().columns_to_ops(col_off, c_pad=c_pad)
 
 
-def segment_sum(values: jnp.ndarray, seg_ids: jnp.ndarray, num_segments: int):
-    return jax.ops.segment_sum(values, seg_ids, num_segments=num_segments)
+def segment_sum(values, seg_ids, num_segments):
+    return _dev().segment_sum(values, seg_ids, num_segments)

@@ -34,8 +34,6 @@ from __future__ import annotations
 from functools import partial
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from paffy_tpu.core.model import PafTable
 from paffy_tpu.ops.coverage import match_intervals, SATURATION, EMPTY_TILE_LEVEL
@@ -68,58 +66,12 @@ def _level_bits(lmax: int) -> int:
     return max(b, 1)
 
 
-@partial(jax.jit, static_argnames=("span", "lmax", "total"))
-def _tile_scan(starts, iv_start, iv_end, span, lmax, total):
-    """Run the greedy tile sweep over one coverage segment.
-
-    starts:   int64 [N]       segment-local base offset of each record's window
-    iv_start: int64 [N, K]    run starts relative to the window (K padded;
-                              padding marked by iv_start == iv_end)
-    iv_end:   int64 [N, K]
-    Returns tile levels int64 [N].
-    """
-    counts0 = jnp.zeros(total + span, dtype=jnp.uint16)
-
-    def step(counts, x):
-        start, ivs, ive = x
-        window = jax.lax.dynamic_slice(counts, (start,), (span,))
-        # aligned-base mask of this record via interval diff + cumsum
-        diff = jnp.zeros(span + 1, dtype=jnp.int32)
-        ones = jnp.ones(ivs.shape[0], dtype=jnp.int32)
-        diff = diff.at[ivs].add(ones, mode="drop")
-        diff = diff.at[ive].add(-ones, mode="drop")
-        mask = jnp.cumsum(diff, dtype=jnp.int32)[:span]
-        new_window = jnp.minimum(
-            window + mask.astype(jnp.uint16),
-            jnp.uint16(SATURATION))
-        matches = jnp.sum(mask, dtype=jnp.int32)
-        # median: smallest level L with |{masked bases with count <= L}| >=
-        # matches/2.0 (impl/paf_tile.c:81-89, float compare as in C).
-        # Binary search over the level range — a scatter histogram over the
-        # window would serialize on TPU.
-        half = matches.astype(jnp.float64) / 2.0
-        mask_b = mask > 0
-
-        def probe(L):
-            return jnp.sum((mask_b & (new_window <= L)).astype(jnp.int32),
-                           dtype=jnp.int32)
-
-        def bisect(carry, bit):
-            lo = carry
-            mid = lo + jnp.left_shift(jnp.uint16(1), bit)
-            # f(mid-1) < half  ->  median > mid-1  ->  keep the bit
-            lo = jnp.where(probe(mid - 1).astype(jnp.float64) < half, mid, lo)
-            return lo, None
-
-        bits = jnp.arange(_level_bits(lmax) - 1, -1, -1, dtype=jnp.uint16)
-        median, _ = jax.lax.scan(bisect, jnp.uint16(0), bits)
-        level = jnp.where(matches == 0, jnp.int64(EMPTY_TILE_LEVEL),
-                          median.astype(jnp.int64))
-        counts = jax.lax.dynamic_update_slice(counts, new_window, (start,))
-        return counts, level
-
-    _, levels = jax.lax.scan(step, counts0, (starts, iv_start, iv_end))
-    return levels
+def __getattr__(name):
+    # device scans live in ops/tile_device (lazy; paffy_tpu/jaxconf.py)
+    if name in ("_tile_scan", "_tile_scan_groups"):
+        from paffy_tpu.ops import tile_device
+        return getattr(tile_device, name)
+    raise AttributeError(name)
 
 
 def _sequence_offsets(t: PafTable):
@@ -229,22 +181,13 @@ def assign_tile_levels(t: PafTable, order: np.ndarray) -> np.ndarray:
             continue
         iv_s, iv_e = _pack_intervals(sub, n, rec, istart, iend, t.qstart,
                                      span_b, k_b)
+        from paffy_tpu.ops.tile_device import _tile_scan
+        import jax.numpy as jnp
         lv = _tile_scan(jnp.asarray(starts_all[sub]), jnp.asarray(iv_s),
                         jnp.asarray(iv_e), span=span_b, lmax=lmax,
                         total=total_b)
         levels[sub] = np.asarray(lv)
     return levels
-
-
-@partial(jax.jit, static_argnames=("span", "lmax", "total"))
-def _tile_scan_groups(starts, iv_start, iv_end, span, lmax, total):
-    """The tile sweep vmapped over a leading segment axis — segments are
-    independent coverage spaces (distinct query sequences commute), so the
-    segment axis is the natural ``data`` sharding axis of the multichip
-    pipeline."""
-    def one(s, a, b):
-        return _tile_scan.__wrapped__(s, a, b, span, lmax, total)
-    return jax.vmap(one)(starts, iv_start, iv_end)
 
 
 def assign_tile_levels_sharded(t: PafTable, order: np.ndarray,
@@ -301,6 +244,8 @@ def assign_tile_levels_sharded(t: PafTable, order: np.ndarray,
         iv_s_b[s, : len(sub)] = iv_s
         iv_e_b[s, : len(sub)] = iv_e
 
+    from paffy_tpu.ops.tile_device import _tile_scan_groups
+    import jax.numpy as jnp
     args = (starts_b, iv_s_b, iv_e_b)
     if mesh is not None:
         sh = NamedSharding(mesh, P("data"))

@@ -14,6 +14,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import pathlib  # noqa: E402
 
 import pytest  # noqa: E402
+
+from paffy_tpu.jaxconf import ensure_jax  # noqa: E402
+
+ensure_jax()   # x64 + platform config (lazy since the -S launcher work)
+
 import jax  # noqa: E402
 
 # The axon TPU plugin registers itself even when JAX_PLATFORMS=cpu is set and
