@@ -200,21 +200,26 @@ def parse_paf_bytes(data: bytes):
 
 def _name_pool(qnames, tnames):
     """NUL-separated name pool + per-record offsets for the native
-    formatters."""
+    formatters.  Each DISTINCT name is encoded and stored once (a shattered
+    batch has millions of records over a handful of contigs — per-record
+    encoding measured ~6 s on 5.9M records vs ~0.3 s deduplicated)."""
     n = len(qnames)
-    enc_q = [q.encode("latin-1") for q in qnames]
-    enc_t = [t.encode("latin-1") for t in tnames]
-    qoff = np.zeros(n, dtype=np.int64)
-    toff = np.zeros(n, dtype=np.int64)
+    pool_off: dict[str, int] = {}
     parts = []
     pos = 0
-    for i in range(n):
-        qoff[i] = pos
-        parts.append(enc_q[i])
-        pos += len(enc_q[i]) + 1
-        toff[i] = pos
-        parts.append(enc_t[i])
-        pos += len(enc_t[i]) + 1
+
+    def off_of(name: str) -> int:
+        nonlocal pos
+        o = pool_off.get(name)
+        if o is None:
+            enc = name.encode("latin-1")
+            pool_off[name] = o = pos
+            parts.append(enc)
+            pos += len(enc) + 1
+        return o
+
+    qoff = np.fromiter((off_of(q) for q in qnames), dtype=np.int64, count=n)
+    toff = np.fromiter((off_of(t) for t in tnames), dtype=np.int64, count=n)
     return b"\0".join(parts) + b"\0", qoff, toff
 
 
