@@ -129,6 +129,9 @@ def get_lib():
         lib.match_intervals.restype = ctypes.c_longlong
         lib.match_intervals.argtypes = [ctypes.c_longlong, _I64P, _U8P,
                                         _I64P, _I64P, _I64P, _I64P, _I64P]
+        lib.coverage_counts.restype = None
+        lib.coverage_counts.argtypes = [_I64P, ctypes.c_longlong,
+                                        ctypes.c_longlong, _U16P]
         lib.paf_check_batch.restype = ctypes.c_longlong
         lib.paf_check_batch.argtypes = [ctypes.c_longlong, _I64P, _U8P,
                                         _I64P, _I64P, _I64P, _I64P, _I64P,
@@ -373,6 +376,19 @@ def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim,
         None if rev is None
         else _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
         _p_i64(out))
+    return out
+
+
+def coverage_counts(diff: np.ndarray, saturation: int):
+    """Running-sum + uint16 saturation of a coverage diff array in one pass
+    (exact semantics of np.minimum(np.cumsum(diff), sat).astype(uint16))."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(len(diff), dtype=np.uint16)
+    lib.coverage_counts(
+        _p_i64(np.ascontiguousarray(diff, dtype=np.int64)), len(diff),
+        saturation, out.ctypes.data_as(_U16P))
     return out
 
 

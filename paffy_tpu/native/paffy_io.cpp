@@ -492,6 +492,23 @@ void chain_dp(long long n,
     }
 }
 
+// Materialize a coverage count array from its +/-1 diff form in one pass:
+// running sum + uint16 saturation (ops/coverage.CoverageMap.counts; the
+// numpy cumsum/minimum/astype chain made 5 full-array trips over a 134M-
+// base chromosome).  Reference semantics: saturating uint16 counts
+// (impl/paf.c:700-702).
+void coverage_counts(const long long* diff, long long n,
+                     long long saturation, unsigned short* out) {
+    long long run = 0;
+    const long long sat = saturation;
+    for (long long i = 0; i < n; ++i) {
+        run += diff[i];
+        // min + u16 cast, exactly the numpy fallback's
+        // np.minimum(cumsum, SATURATION).astype(np.uint16)
+        out[i] = (unsigned short)(run > sat ? sat : run);
+    }
+}
+
 // Batch validation (core/pafio.paf_check <-> impl/paf.c:427-461): bounds
 // checks plus cigar query/target consumption vs end-start.  Returns the
 // first bad record index (writing its error code 0..5 to *code) or -1.

@@ -103,6 +103,10 @@ class CoverageMap:
     def counts(self, name: str) -> np.ndarray:
         """Materialize the saturated uint16 count array for one sequence."""
         i = self._idx[name]
+        from paffy_tpu import native
+        res = native.coverage_counts(self._diffs[i][:-1], SATURATION)
+        if res is not None:   # one native pass; numpy chain is the fallback
+            return res
         c = np.cumsum(self._diffs[i][:-1])
         return np.minimum(c, SATURATION).astype(np.uint16)
 
