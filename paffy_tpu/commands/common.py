@@ -44,22 +44,72 @@ def open_output(args):
     return sys.stdout if args.outputFile is None else open(args.outputFile, "w")
 
 
+class _TextReadCompat:
+    """Bytes facade over a text stream (tests redirect stdin to StringIO)."""
+
+    def __init__(self, fh):
+        self._fh = fh
+
+    def read(self, n=-1):
+        return self._fh.read(n).encode("latin-1")
+
+
+class _TextWriteCompat:
+    """Bytes facade over a text stream (tests redirect stdout to StringIO)."""
+
+    def __init__(self, fh):
+        self._fh = fh
+
+    def write(self, data):
+        return self._fh.write(bytes(data).decode("latin-1"))
+
+    def flush(self):
+        self._fh.flush()
+
+
+def open_input_binary(args):
+    """Binary input stream — PAF data never needs a codec pass."""
+    if args.inputFile is not None:
+        return open(args.inputFile, "rb")
+    buf = getattr(sys.stdin, "buffer", None)
+    return buf if buf is not None else _TextReadCompat(sys.stdin)
+
+
+def open_output_binary(args):
+    if args.outputFile is not None:
+        return open(args.outputFile, "wb")
+    buf = getattr(sys.stdout, "buffer", None)
+    return buf if buf is not None else _TextWriteCompat(sys.stdout)
+
+
+def close_input_binary(fh):
+    if isinstance(fh, _TextReadCompat) or fh is getattr(sys.stdin, "buffer",
+                                                        None):
+        return
+    fh.close()
+
+
+def close_output_binary(fh):
+    if isinstance(fh, _TextWriteCompat) or fh is getattr(sys.stdout, "buffer",
+                                                         None):
+        return
+    fh.close()
+
+
 def read_table(args):
-    fh = open_input(args)
+    fh = open_input_binary(args)
     try:
-        return pafio.parse_paf_text(fh.read())
+        return pafio.parse_paf_data(fh.read())
     finally:
-        if fh is not sys.stdin:
-            fh.close()
+        close_input_binary(fh)
 
 
 def write_table(t, args):
-    fh = open_output(args)
+    fh = open_output_binary(args)
     try:
-        fh.write(pafio.serialize_paf(t))
+        fh.write(pafio.serialize_paf_bytes(t))
     finally:
-        if fh is not sys.stdout:
-            fh.close()
+        close_output_binary(fh)
 
 
 # Streaming batch size: the reference streams record-at-a-time; we stream
@@ -73,36 +123,34 @@ BATCH_BYTES = int(os.environ.get("PAFFY_TPU_BATCH_BYTES", 256 * 1024 * 1024))
 def stream_tables(args, batch_bytes: int | None = None):
     """Yield PafTable batches from the input, splitting at line boundaries."""
     bb = batch_bytes or BATCH_BYTES
-    fh = open_input(args)
+    fh = open_input_binary(args)
     try:
-        leftover = ""
+        leftover = b""
         while True:
             chunk = fh.read(bb)
             if not chunk:
                 if leftover:
-                    yield pafio.parse_paf_text(leftover)
+                    yield pafio.parse_paf_data(leftover)
                 return
             chunk = leftover + chunk
-            cut = chunk.rfind("\n")
+            cut = chunk.rfind(b"\n")
             if cut < 0:
                 leftover = chunk
                 continue
             leftover = chunk[cut + 1:]
-            yield pafio.parse_paf_text(chunk[: cut + 1])
+            yield pafio.parse_paf_data(chunk[: cut + 1])
     finally:
-        if fh is not sys.stdin:
-            fh.close()
+        close_input_binary(fh)
 
 
 def stream_transform(args, fn):
     """read -> fn(batch) -> write, batch by batch (the reference's streaming
     loop shape, e.g. impl/paf_invert.c:84-89, at batch granularity)."""
-    out = open_output(args)
+    out = open_output_binary(args)
     try:
         for t in stream_tables(args):
             res = fn(t)
             if res is not None and len(res):
-                out.write(pafio.serialize_paf(res))
+                out.write(pafio.serialize_paf_bytes(res))
     finally:
-        if out is not sys.stdout:
-            out.close()
+        close_output_binary(out)

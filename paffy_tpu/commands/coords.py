@@ -10,6 +10,7 @@ import numpy as np
 
 from paffy_tpu.commands.common import (base_parser, start, read_table,
                                         write_table, open_input, open_output,
+                                        open_output_binary, close_output_binary,
                                         stream_tables)
 from paffy_tpu.core import pafio
 from paffy_tpu.core.fasta import decode_header, read_fasta_list
@@ -48,8 +49,7 @@ def dechunk_main(argv) -> int:
     timer = start(args, "Paffy dechunk")
     fix_query = not args.target   # -t restricts to target only (impl/paf_dechunk.c:81-86)
     fix_target = not args.query
-    import sys as _sys
-    out = open_output(args)
+    out = open_output_binary(args)
     try:
         for t in stream_tables(args):
             if fix_query:
@@ -59,10 +59,9 @@ def dechunk_main(argv) -> int:
                 tn, ts, te, tl = _dechunk_side(t.tname, t.tstart, t.tend, t.tlen)
                 t = replace(t, tname=tn, tstart=ts, tend=te, tlen=tl)
             pafio.paf_check(t)
-            out.write(pafio.serialize_paf(t))
+            out.write(pafio.serialize_paf_bytes(t))
     finally:
-        if out is not _sys.stdout:
-            out.close()
+        close_output_binary(out)
     timer.done()
     return 0
 
@@ -186,9 +185,9 @@ def split_file_main(argv) -> int:
             for path in forder:
                 fh = handles.get(path)
                 if fh is None:
-                    fh = open(path, "w")
+                    fh = open(path, "wb")
                     handles[path] = fh
-                fh.write(pafio.serialize_paf(
+                fh.write(pafio.serialize_paf_bytes(
                     t.take(np.array(by_file[path], dtype=np.int64))))
     finally:
         for fh in handles.values():

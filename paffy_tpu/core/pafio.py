@@ -50,32 +50,41 @@ def parse_cigar_string(s: str) -> list[tuple[int, int]]:
 
 
 def parse_paf_text(text: str) -> PafTable:
-    """Parse PAF text (one record per line) into a PafTable.
+    """Parse PAF text (one record per line) into a PafTable."""
+    try:
+        data = text.encode("latin-1")
+    except UnicodeEncodeError:
+        return _parse_python(text)
+    return parse_paf_data(data)
 
-    Dispatches to the native C++ tokenizer (paffy_tpu.native) when available,
-    falling back to the portable Python implementation below.
+
+def parse_paf_data(data: bytes) -> PafTable:
+    """Parse PAF bytes (one record per line) into a PafTable.
+
+    The bytes-first entry point — the CLI plumbing reads files in binary
+    mode so no codec pass ever touches the data.  Dispatches to the native
+    C++ tokenizer (paffy_tpu.native) when available, falling back to the
+    portable Python implementation below.
 
     The cigar is always parsed to ops (the reference's parse_cigar_string=0
     mode only defers parsing; the canonical re-serialization is identical for
     well-formed cigars, and every numeric transform needs ops anyway).
     """
-    table = _parse_native(text)
+    table = _parse_native(data)
     if table is not None:
         return table
-    return _parse_python(text)
+    return _parse_python(data.decode("latin-1"))
 
 
-def _parse_native(text: str) -> PafTable | None:
+def _parse_native(data: bytes) -> PafTable | None:
     try:
         from paffy_tpu import native
     except ImportError:
         return None
     try:
-        res = native.parse_paf_bytes(text.encode("latin-1"))
+        res = native.parse_paf_bytes(data)
     except native.NativeParseError as e:
         raise PafFormatError(str(e)) from e
-    except UnicodeEncodeError:
-        return None
     if res is None:
         return None
     ints, flags, rtype, qnames, tnames, ops, lens, off = res
@@ -93,12 +102,18 @@ def _parse_native(text: str) -> PafTable | None:
 
 def _table_to_arrays(t: PafTable):
     n = len(t)
-    ints = np.empty((n, 13), dtype=np.int64)
-    ints[:, 0] = t.qlen; ints[:, 1] = t.qstart; ints[:, 2] = t.qend
-    ints[:, 3] = t.tlen; ints[:, 4] = t.tstart; ints[:, 5] = t.tend
-    ints[:, 6] = t.num_matches; ints[:, 7] = t.num_bases; ints[:, 8] = t.mapq
-    ints[:, 9] = t.score; ints[:, 10] = t.tile_level
-    ints[:, 11] = t.chain_id; ints[:, 12] = t.chain_score
+    cols = (t.qlen, t.qstart, t.qend, t.tlen, t.tstart, t.tend,
+            t.num_matches, t.num_bases, t.mapq, t.score, t.tile_level,
+            t.chain_id, t.chain_score)
+    try:
+        from paffy_tpu import native
+        ints = native.pack_ints13(cols) if n else None
+    except ImportError:
+        ints = None
+    if ints is None:
+        ints = np.empty((n, 13), dtype=np.int64)
+        for j, c in enumerate(cols):
+            ints[:, j] = c
     flags = (t.strand.astype(np.uint8) | (t.has_cigar.astype(np.uint8) << 1))
     return ints, flags
 
@@ -211,6 +226,14 @@ def format_record(t: PafTable, i: int) -> str:
 def serialize_paf(t: PafTable) -> str:
     """Serialize a whole table, one line per record, trailing newline per
     line.  Uses the native serializer when available."""
+    return bytes(serialize_paf_bytes(t)).decode("latin-1")
+
+
+def serialize_paf_bytes(t: PafTable):
+    """Bytes-first serializer — the CLI plumbing writes binary so no codec
+    pass touches the output.  Returns a bytes-like object (a zero-copy
+    memoryview over the native serializer's exact-size buffer when the
+    toolchain is available, else bytes)."""
     try:
         from paffy_tpu import native
     except ImportError:
@@ -220,8 +243,9 @@ def serialize_paf(t: PafTable) -> str:
         out = native.serialize_paf_arrays(ints, flags, t.type, t.qname,
                                           t.tname, t.ops, t.lens, t.off)
         if out is not None:
-            return out.decode("latin-1")
-    return "".join(format_record(t, i) + "\n" for i in range(len(t)))
+            return out.data
+    return "".join(format_record(t, i) + "\n"
+                   for i in range(len(t))).encode("latin-1")
 
 
 def read_paf_file(path_or_file) -> PafTable:

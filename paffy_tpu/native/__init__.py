@@ -64,6 +64,17 @@ def get_lib():
         lib.paf_serialize.argtypes = [ctypes.c_longlong, _I64P, _U8P, _U8P,
                                       _I64P, _I64P, ctypes.c_char_p,
                                       _U8P, _I64P, _I64P, ctypes.c_char_p]
+        lib.paf_serialize_sizes.restype = None
+        lib.paf_serialize_sizes.argtypes = [ctypes.c_longlong, _I64P, _U8P,
+                                            _U8P, _I64P, _I64P,
+                                            ctypes.c_char_p, _U8P, _I64P,
+                                            _I64P, _I64P, ctypes.c_longlong]
+        lib.paf_serialize_fill.restype = ctypes.c_longlong
+        lib.paf_serialize_fill.argtypes = [ctypes.c_longlong, _I64P, _U8P,
+                                           _U8P, _I64P, _I64P,
+                                           ctypes.c_char_p, _U8P, _I64P,
+                                           _I64P, _I64P, ctypes.c_char_p,
+                                           ctypes.c_longlong]
         lib.paf_serialize_bound.restype = ctypes.c_longlong
         lib.paf_serialize_bound.argtypes = [ctypes.c_longlong,
                                             ctypes.c_longlong,
@@ -126,6 +137,28 @@ def get_lib():
         lib.trim_counts.restype = None
         lib.trim_counts.argtypes = [ctypes.c_longlong, _I64P, _U8P, _I64P,
                                     _F32P, _F32P, _I64P, _U8P, _I64P]
+        lib.trim_tails_apply.restype = None
+        lib.trim_tails_apply.argtypes = [ctypes.c_longlong, _I64P, _U8P,
+                                         _I64P, _U8P, ctypes.c_float,
+                                         ctypes.c_float, _I64P, _I64P,
+                                         _I64P, _I64P, _I64P, _I64P,
+                                         ctypes.c_longlong]
+        lib.copy_op_ranges.restype = None
+        lib.copy_op_ranges.argtypes = [ctypes.c_longlong, _I64P, _I64P,
+                                       _I64P, _U8P, _I64P, _U8P, _I64P,
+                                       ctypes.c_longlong]
+        lib.invert_ops.restype = None
+        lib.invert_ops.argtypes = [ctypes.c_longlong, _I64P, _U8P, _I64P,
+                                   _U8P, _U8P, _I64P, ctypes.c_longlong]
+        lib.shatter_walk.restype = None
+        lib.shatter_walk.argtypes = [ctypes.c_longlong, _I64P, _U8P, _I64P,
+                                     _I64P, _I64P, _I64P, _U8P, _I64P,
+                                     _I64P, _I64P, _I64P, _I64P,
+                                     ctypes.c_longlong]
+        lib.pack_ints13.restype = None
+        lib.pack_ints13.argtypes = [ctypes.c_longlong,
+                                    ctypes.POINTER(_I64P), _I64P,
+                                    ctypes.c_longlong]
         lib.match_intervals.restype = ctypes.c_longlong
         lib.match_intervals.argtypes = [ctypes.c_longlong, _I64P, _U8P,
                                         _I64P, _I64P, _I64P, _I64P, _I64P]
@@ -205,8 +238,10 @@ def _name_pool(qnames, tnames):
     """NUL-separated name pool + per-record offsets for the native
     formatters.  Each DISTINCT name is encoded and stored once (a shattered
     batch has millions of records over a handful of contigs — per-record
-    encoding measured ~6 s on 5.9M records vs ~0.3 s deduplicated)."""
-    n = len(qnames)
+    encoding measured ~6 s on 5.9M records vs ~0.3 s deduplicated), and
+    offset lookups collapse runs of equal consecutive names (record-
+    multiplying transforms emit long same-name runs; per-record dict probes
+    measured ~3.6 s on 5.9M names vs ~0.3 s run-collapsed)."""
     pool_off: dict[str, int] = {}
     parts = []
     pos = 0
@@ -221,28 +256,56 @@ def _name_pool(qnames, tnames):
             pos += len(enc) + 1
         return o
 
-    qoff = np.fromiter((off_of(q) for q in qnames), dtype=np.int64, count=n)
-    toff = np.fromiter((off_of(t) for t in tnames), dtype=np.int64, count=n)
+    def offsets(names) -> np.ndarray:
+        n = len(names)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(names[1:], names[:-1], out=change[1:])
+        idx = np.flatnonzero(change)
+        vals = np.fromiter((off_of(names[i]) for i in idx),
+                           dtype=np.int64, count=len(idx))
+        counts = np.diff(np.append(idx, n))
+        return np.repeat(vals, counts)
+
+    qoff = offsets(qnames)
+    toff = offsets(tnames)
     return b"\0".join(parts) + b"\0", qoff, toff
 
 
-def serialize_paf_arrays(ints, flags, rtype, qnames, tnames, ops, lens, off) -> bytes | None:
+def serialize_paf_arrays(ints, flags, rtype, qnames, tnames, ops, lens, off,
+                         n_threads: int | None = None):
+    """Exact-size threaded serialization.  Returns a uint8 ndarray holding
+    the serialized bytes (callers hand out a zero-copy memoryview), or None
+    without a toolchain."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(flags)
     pool, qoff, toff = _name_pool(qnames, tnames)
-    bound = int(lib.paf_serialize_bound(n, len(ops), len(pool)))
-    out = np.empty(bound, dtype=np.uint8)
     ints = np.ascontiguousarray(ints, dtype=np.int64)
-    written = lib.paf_serialize(
-        n, _p_i64(ints), _p_u8(np.ascontiguousarray(flags)),
-        _p_u8(np.ascontiguousarray(rtype)), _p_i64(qoff), _p_i64(toff), pool,
-        _p_u8(np.ascontiguousarray(ops)),
-        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
-        _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
-        out.ctypes.data_as(ctypes.c_char_p))
-    return out[: int(written)].tobytes()
+    flags = np.ascontiguousarray(flags)
+    rtype = np.ascontiguousarray(rtype)
+    ops = np.ascontiguousarray(ops)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    off = np.ascontiguousarray(off, dtype=np.int64)
+    nt = _default_threads(n_threads)
+    out_off = np.empty(n + 1, dtype=np.int64)
+    out_off[0] = 0
+    lib.paf_serialize_sizes(n, _p_i64(ints), _p_u8(flags), _p_u8(rtype),
+                            _p_i64(qoff), _p_i64(toff), pool, _p_u8(ops),
+                            _p_i64(lens), _p_i64(off), _p_i64(out_off[1:]),
+                            nt)
+    np.cumsum(out_off[1:], out=out_off[1:])
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    rc = lib.paf_serialize_fill(n, _p_i64(ints), _p_u8(flags), _p_u8(rtype),
+                                _p_i64(qoff), _p_i64(toff), pool, _p_u8(ops),
+                                _p_i64(lens), _p_i64(off), _p_i64(out_off),
+                                out.ctypes.data_as(ctypes.c_char_p), nt)
+    if rc != 0:  # measured/written drift — never expected; fail loudly
+        raise RuntimeError("paf_serialize_fill length mismatch")
+    return out
 
 
 def view_stats_lines(qnames, tnames, vals: np.ndarray) -> bytes | None:
@@ -377,6 +440,116 @@ def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim,
         else _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
         _p_i64(out))
     return out
+
+
+def trim_tails_apply(off, ops, lens, strand, score_fraction, max_fraction,
+                     n_threads: int | None = None):
+    """Both unreliable-tail trim passes (identity stats, decision AND apply)
+    in one threaded native sweep.  Returns (keep_a, keep_b, dq1, dt1, dq2,
+    dt2) — contiguous kept-op ranges per record plus each pass's dropped
+    query/target base sums — or None without a toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(off) - 1
+    keep_a = np.empty(n, dtype=np.int64)
+    keep_b = np.empty(n, dtype=np.int64)
+    dq1 = np.empty(n, dtype=np.int64)
+    dt1 = np.empty(n, dtype=np.int64)
+    dq2 = np.empty(n, dtype=np.int64)
+    dt2 = np.empty(n, dtype=np.int64)
+    lib.trim_tails_apply(
+        n, _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(ops, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(strand, dtype=np.uint8)),
+        ctypes.c_float(score_fraction), ctypes.c_float(max_fraction),
+        _p_i64(keep_a), _p_i64(keep_b), _p_i64(dq1), _p_i64(dt1),
+        _p_i64(dq2), _p_i64(dt2), _default_threads(n_threads))
+    return keep_a, keep_b, dq1, dt1, dq2, dt2
+
+
+def copy_op_ranges(keep_a, keep_b, new_off, ops, lens,
+                   n_threads: int | None = None):
+    """Compact contiguous per-record op ranges into a fresh CSR (new_off
+    pre-cumsummed from keep_b-keep_a); returns (new_ops, new_lens) or None
+    without a toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(keep_a)
+    total = int(new_off[-1]) if len(new_off) else 0
+    new_ops = np.empty(total, dtype=np.uint8)
+    new_lens = np.empty(total, dtype=np.int64)
+    lib.copy_op_ranges(
+        n, _p_i64(np.ascontiguousarray(keep_a, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(keep_b, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(new_off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(ops, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_u8(new_ops), _p_i64(new_lens), _default_threads(n_threads))
+    return new_ops, new_lens
+
+
+def shatter_walk(off, ops, lens, qstart, qend, tstart, strand, m_base, k,
+                 n_threads: int | None = None):
+    """Per-M-op shatter coordinates in one CSR pass; returns
+    (rec, qs, ts, ln) of length k (the total M-op count) or None without a
+    toolchain.  m_base is the per-record exclusive M-count prefix."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(off) - 1
+    rec = np.empty(k, dtype=np.int64)
+    qs = np.empty(k, dtype=np.int64)
+    ts = np.empty(k, dtype=np.int64)
+    ln = np.empty(k, dtype=np.int64)
+    lib.shatter_walk(
+        n, _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(ops, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qstart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(qend, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(tstart, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(strand, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(m_base, dtype=np.int64)),
+        _p_i64(rec), _p_i64(qs), _p_i64(ts), _p_i64(ln),
+        _default_threads(n_threads))
+    return rec, qs, ts, ln
+
+
+def pack_ints13(cols, n_threads: int | None = None):
+    """Interleave 13 equal-length int64 columns into a row-major [n,13]
+    matrix (the serializer's layout), or None without a toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cols = [np.ascontiguousarray(c, dtype=np.int64) for c in cols]
+    n = len(cols[0])
+    out = np.empty((n, 13), dtype=np.int64)
+    ptrs = (_I64P * 13)(*[c.ctypes.data_as(_I64P) for c in cols])
+    lib.pack_ints13(n, ctypes.cast(ptrs, ctypes.POINTER(_I64P)),
+                    _p_i64(out), _default_threads(n_threads))
+    return out
+
+
+def invert_ops(off, ops, lens, rev, n_threads: int | None = None):
+    """Fused I<->D relabel + per-record conditional reverse (the cigar half
+    of paf_invert); returns (new_ops, new_lens) or None without a
+    toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(off) - 1
+    new_ops = np.empty(len(ops), dtype=np.uint8)
+    new_lens = np.empty(len(ops), dtype=np.int64)
+    lib.invert_ops(
+        n, _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(ops, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
+        _p_u8(new_ops), _p_i64(new_lens), _default_threads(n_threads))
+    return new_ops, new_lens
 
 
 def coverage_counts(diff: np.ndarray, saturation: int):

@@ -14,6 +14,7 @@
 
 #include <algorithm>
 #include <climits>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -291,6 +292,158 @@ long long paf_serialize(long long n_records,
         *b++ = '\n';
     }
     return b - out;
+}
+
+// ---- threaded exact-size serializer ------------------------------------
+// Two phases: paf_serialize_sizes measures every record's exact byte
+// length (threaded), the caller prefix-sums them, and paf_serialize_fill
+// writes each record at its exact offset (threaded, no compaction pass and
+// no oversized bound allocation — the single-call paf_serialize above
+// stays as the simple form).
+
+static inline long long i64_digits(long long v) {
+    if (v == 0) return 1;
+    long long d = v < 0 ? 1 : 0;
+    unsigned long long u = v < 0 ? (unsigned long long)(-v)
+                                 : (unsigned long long)v;
+    while (u) { ++d; u /= 10; }
+    return d;
+}
+
+static long long record_ser_len(long long i, const long long* ints,
+                                const unsigned char* flags,
+                                const unsigned char* type,
+                                const long long* qname_off,
+                                const long long* tname_off,
+                                const char* name_pool,
+                                const unsigned char* ops,
+                                const long long* op_lens,
+                                const long long* cig_off) {
+    const long long* R = ints + i * 13;
+    long long n = (long long)strlen(name_pool + qname_off[i])
+                + (long long)strlen(name_pool + tname_off[i])
+                + 11 + 2;  // 11 tabs + strand char + newline
+    for (int j = 0; j < 9; ++j) n += i64_digits(R[j]);
+    if (type[i] != 0 || R[10] != -1) n += 7;
+    if (R[9] != 2147483647LL) n += 6 + i64_digits(R[9]);
+    if (R[10] != -1) n += 6 + i64_digits(R[10]);
+    if (R[11] != -1) n += 6 + i64_digits(R[11]);
+    if (R[12] != -1) n += 6 + i64_digits(R[12]);
+    if (flags[i] & 2) {
+        n += 6;
+        for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k)
+            n += i64_digits(op_lens[k]) + 1;
+    }
+    return n;
+}
+
+void paf_serialize_sizes(long long n_records,
+                         const long long* ints, const unsigned char* flags,
+                         const unsigned char* type,
+                         const long long* qname_off,
+                         const long long* tname_off,
+                         const char* name_pool,
+                         const unsigned char* ops, const long long* op_lens,
+                         const long long* cig_off,
+                         long long* sizes, long long n_threads) {
+    auto work = [&](long long r0, long long r1) {
+        for (long long i = r0; i < r1; ++i)
+            sizes[i] = record_ser_len(i, ints, flags, type, qname_off,
+                                      tname_off, name_pool, ops, op_lens,
+                                      cig_off);
+    };
+    if (n_threads <= 1 || n_records < 4096) {
+        work(0, n_records);
+        return;
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s)
+        th.emplace_back(work, n_records * s / n_threads,
+                        n_records * (s + 1) / n_threads);
+    for (auto& t : th) t.join();
+}
+
+// Returns 0 on success, 1 if any record's written length disagreed with
+// its measured length (drift guard between the two passes).
+long long paf_serialize_fill(long long n_records,
+                             const long long* ints,
+                             const unsigned char* flags,
+                             const unsigned char* type,
+                             const long long* qname_off,
+                             const long long* tname_off,
+                             const char* name_pool,
+                             const unsigned char* ops,
+                             const long long* op_lens,
+                             const long long* cig_off,
+                             const long long* out_off,  // n+1, cumsum(sizes)
+                             char* out, long long n_threads) {
+    static const char opch[5] = {'M', 'I', 'D', '=', 'X'};
+    volatile long long bad = 0;
+    auto work = [&](long long r0, long long r1) {
+        for (long long i = r0; i < r1; ++i) {
+            char* b = out + out_off[i];
+            const long long* R = ints + i * 13;
+            const char* qn = name_pool + qname_off[i];
+            size_t ql = strlen(qn);
+            memcpy(b, qn, ql); b += ql;
+            *b++ = '\t';
+            b = write_i64(b, R[0]); *b++ = '\t';
+            b = write_i64(b, R[1]); *b++ = '\t';
+            b = write_i64(b, R[2]); *b++ = '\t';
+            *b++ = (flags[i] & 1) ? '+' : '-'; *b++ = '\t';
+            const char* tn = name_pool + tname_off[i];
+            size_t tl = strlen(tn);
+            memcpy(b, tn, tl); b += tl;
+            *b++ = '\t';
+            b = write_i64(b, R[3]); *b++ = '\t';
+            b = write_i64(b, R[4]); *b++ = '\t';
+            b = write_i64(b, R[5]); *b++ = '\t';
+            b = write_i64(b, R[6]); *b++ = '\t';
+            b = write_i64(b, R[7]); *b++ = '\t';
+            b = write_i64(b, R[8]);
+            if (type[i] != 0 || R[10] != -1) {
+                char c = type[i] ? (char)type[i] : (R[10] > 1 ? 'S' : 'P');
+                memcpy(b, "\ttp:A:", 6); b += 6;
+                *b++ = c;
+            }
+            if (R[9] != 2147483647LL) {
+                memcpy(b, "\tAS:i:", 6); b += 6;
+                b = write_i64(b, R[9]);
+            }
+            if (R[10] != -1) {
+                memcpy(b, "\ttl:i:", 6); b += 6;
+                b = write_i64(b, R[10]);
+            }
+            if (R[11] != -1) {
+                memcpy(b, "\tcn:i:", 6); b += 6;
+                b = write_i64(b, R[11]);
+            }
+            if (R[12] != -1) {
+                memcpy(b, "\ts1:i:", 6); b += 6;
+                b = write_i64(b, R[12]);
+            }
+            if (flags[i] & 2) {
+                memcpy(b, "\tcg:Z:", 6); b += 6;
+                for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k) {
+                    b = write_i64(b, op_lens[k]);
+                    *b++ = opch[ops[k]];
+                }
+            }
+            *b++ = '\n';
+            if (b - (out + out_off[i]) != out_off[i + 1] - out_off[i])
+                bad = 1;
+        }
+    };
+    if (n_threads <= 1 || n_records < 4096) {
+        work(0, n_records);
+        return bad;
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s)
+        th.emplace_back(work, n_records * s / n_threads,
+                        n_records * (s + 1) / n_threads);
+    for (auto& t : th) t.join();
+    return bad;
 }
 
 // Upper bound on serialized size.
@@ -610,6 +763,270 @@ void trim_counts(long long n_records, const long long* off,
         }
         out[r] = best;
     }
+}
+
+// One Bob Harris trim decision over a directed op walk (the loop of
+// trim_counts above, with is_match derived from the op codes: M==0, '='==3).
+static long long trim_decide_dir(const unsigned char* ops,
+                                 const long long* lens,
+                                 long long base, long long step, long long n,
+                                 float thr, float ident, long long max_trim) {
+    long long pm = 0, pmm = 0, trim_idx = -1, pm_ti = 0, pmm_ti = 0;
+    for (long long j = 0; j < n; ++j) {
+        const long long k = base + step * j;
+        const bool m = ops[k] == 0 || ops[k] == 3;
+        if (m) pm += lens[k]; else pmm += lens[k];
+        const long long cols = pm + pmm;
+        if (max_trim >= 0 && cols > max_trim) break;
+        if ((float)pm / (float)cols < thr) {
+            trim_idx = j;
+            pm_ti = pm;
+            pmm_ti = pmm;
+        }
+    }
+    if (trim_idx < 0) return 0;
+    long long best = trim_idx + 1, bm = 0, bmm = 0;
+    for (long long j = 0; j <= trim_idx; ++j) {
+        const long long k = base + step * j;
+        const long long suf_m = pm_ti - bm, suf_mm = pmm_ti - bmm;
+        if ((float)suf_m / (float)(suf_m + suf_mm) >= ident) {
+            best = j;
+            break;
+        }
+        if (ops[k] == 0 || ops[k] == 3) bm += lens[k]; else bmm += lens[k];
+    }
+    return best;
+}
+
+// Whole-batch unreliable-tail trim: both Bob Harris passes (decision AND
+// apply) in one threaded sweep — the host production path of
+// ops/tailtrim.trim_unreliable_tails (impl/paf.c:811-953).  Because the
+// suffix pass runs on the logically INVERTED record (op order reversed
+// only for '-' records, paf_invert's rule at impl/paf.c:487-489), the
+// kept ops of every record are one CONTIGUOUS range [keep_a, keep_b) of
+// the input CSR: '+' records drop tc1+tc2 leading ops, '-' records drop
+// tc1 leading and tc2 trailing ops.  dq*/dt* are the query-/target-
+// consuming base sums of each pass's dropped ops in ORIGINAL orientation
+// (op 2 'D' consumes no query, op 1 'I' consumes no target); the caller
+// applies the strand-aware coordinate updates and rebuilds the CSR with
+// copy_op_ranges.  The whole-record identity / threshold / max_trim are
+// computed here per record with the exact mixed float32/double arithmetic
+// of the Python oracle (float casts mirror impl/paf.c:832,886,923) and
+// shared by both passes, exactly as in the form this replaces (verified
+// byte-identical against the compiled reference by
+// tests/test_reference_diff.py).
+void trim_tails_apply(long long n_records, const long long* off,
+                      const unsigned char* ops, const long long* lens,
+                      const unsigned char* strand,  // 1 iff '+'
+                      float score_fraction, float max_fraction,
+                      long long* keep_a, long long* keep_b,
+                      long long* dq1, long long* dt1,
+                      long long* dq2, long long* dt2,
+                      long long n_threads) {
+    auto work = [&](long long r0, long long r1) {
+        for (long long r = r0; r < r1; ++r) {
+            const long long o0 = off[r], o1 = off[r + 1];
+            long long tot_m = 0, tot_mm = 0;
+            for (long long k = o0; k < o1; ++k) {
+                if (ops[k] == 0 || ops[k] == 3) tot_m += lens[k];
+                else tot_mm += lens[k];
+            }
+            const long long cols = tot_m + tot_mm;
+            const float i_ = (float)tot_m / (float)cols;  // NaN when cols==0
+            const float t_ =
+                (float)((double)i_ - (double)i_ * (double)score_fraction);
+            const long long mt =
+                (long long)truncf((float)cols * max_fraction);
+            // pass 1: prefix decision + dropped-base sums
+            const long long tc1 =
+                trim_decide_dir(ops, lens, o0, 1, o1 - o0, t_, i_, mt);
+            long long q1 = 0, t1 = 0;
+            for (long long k = o0; k < o0 + tc1; ++k) {
+                if (ops[k] != 2) q1 += lens[k];
+                if (ops[k] != 1) t1 += lens[k];
+            }
+            const long long a = o0 + tc1;
+            // pass 2 on the logically inverted remainder
+            long long tc2, a2, b2;
+            if (strand[r]) {
+                tc2 = trim_decide_dir(ops, lens, a, 1, o1 - a, t_, i_, mt);
+                a2 = a + tc2;
+                b2 = o1;
+                keep_a[r] = a2;
+                keep_b[r] = b2;
+                a2 = a;              // dropped range [a, a+tc2)
+                b2 = a + tc2;
+            } else {
+                tc2 = trim_decide_dir(ops, lens, o1 - 1, -1, o1 - a, t_, i_,
+                                      mt);
+                keep_a[r] = a;
+                keep_b[r] = o1 - tc2;
+                a2 = o1 - tc2;       // dropped range [o1-tc2, o1)
+                b2 = o1;
+            }
+            long long q2 = 0, t2 = 0;
+            for (long long k = a2; k < b2; ++k) {
+                if (ops[k] != 2) q2 += lens[k];
+                if (ops[k] != 1) t2 += lens[k];
+            }
+            dq1[r] = q1;
+            dt1[r] = t1;
+            dq2[r] = q2;
+            dt2[r] = t2;
+        }
+    };
+    if (n_threads <= 1 || n_records < 1024) {
+        work(0, n_records);
+        return;
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s) {
+        const long long r0 = n_records * s / n_threads;
+        const long long r1 = n_records * (s + 1) / n_threads;
+        th.emplace_back(work, r0, r1);
+    }
+    for (auto& t : th) t.join();
+}
+
+// Gather contiguous op ranges [a[r], b[r]) into a compact CSR whose record
+// offsets are new_off (caller-cumsummed from b-a) — one memcpy pair per
+// record, threaded over records.  Generic CSR-rebuild helper (trim, and any
+// transform whose kept ops stay contiguous per record).
+void copy_op_ranges(long long n_records, const long long* a,
+                    const long long* b, const long long* new_off,
+                    const unsigned char* ops, const long long* lens,
+                    unsigned char* new_ops, long long* new_lens,
+                    long long n_threads) {
+    auto work = [&](long long r0, long long r1) {
+        for (long long r = r0; r < r1; ++r) {
+            const long long n = b[r] - a[r];
+            if (n <= 0) continue;
+            memcpy(new_ops + new_off[r], ops + a[r], (size_t)n);
+            memcpy(new_lens + new_off[r], lens + a[r],
+                   (size_t)n * sizeof(long long));
+        }
+    };
+    if (n_threads <= 1 || n_records < 1024) {
+        work(0, n_records);
+        return;
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s) {
+        const long long r0 = n_records * s / n_threads;
+        const long long r1 = n_records * (s + 1) / n_threads;
+        th.emplace_back(work, r0, r1);
+    }
+    for (auto& t : th) t.join();
+}
+
+// Shatter walk: one pass over the CSR emitting, per M op, the source
+// record index and the shard's query/target coordinates (paf_shatter2's
+// coordinate walk, impl/paf.c:600-663: query advances forward for '+' and
+// backward from qend for '-'; target always forward).  Caller counts M
+// ops first (k) and allocates; the remaining columns are plain [rec]
+// gathers in numpy.  Threaded over records: every record's output slot
+// base is its exclusive M-count prefix, precomputed by the caller in
+// m_base.
+void shatter_walk(long long n_records, const long long* off,
+                  const unsigned char* ops, const long long* lens,
+                  const long long* qstart, const long long* qend,
+                  const long long* tstart, const unsigned char* strand,
+                  const long long* m_base,
+                  long long* rec, long long* qs, long long* ts,
+                  long long* ln, long long n_threads) {
+    auto work = [&](long long r0, long long r1) {
+        for (long long r = r0; r < r1; ++r) {
+            long long w = m_base[r];
+            long long q = 0, t = tstart[r];
+            const bool fwd = strand[r];
+            for (long long k = off[r]; k < off[r + 1]; ++k) {
+                const unsigned char op = ops[k];
+                const long long L = lens[k];
+                if (op == 0) {  // M
+                    rec[w] = r;
+                    qs[w] = fwd ? qstart[r] + q : qend[r] - q - L;
+                    ts[w] = t;
+                    ln[w] = L;
+                    ++w;
+                }
+                if (op != 2) q += L;  // advances query unless D
+                if (op != 1) t += L;  // advances target unless I
+            }
+        }
+    };
+    if (n_threads <= 1 || n_records < 1024) {
+        work(0, n_records);
+        return;
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s)
+        th.emplace_back(work, n_records * s / n_threads,
+                        n_records * (s + 1) / n_threads);
+    for (auto& t : th) t.join();
+}
+
+// Interleave 13 int64 column arrays into a row-major [n,13] matrix (the
+// serializer's record layout) in one pass — np column assignment into a
+// [n,13] matrix is 13 strided write passes.
+void pack_ints13(long long n, const long long* const* cols,
+                 long long* out, long long n_threads) {
+    auto work = [&](long long r0, long long r1) {
+        for (long long i = r0; i < r1; ++i) {
+            long long* R = out + i * 13;
+            for (int j = 0; j < 13; ++j) R[j] = cols[j][i];
+        }
+    };
+    if (n_threads <= 1 || n < 4096) {
+        work(0, n);
+        return;
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s)
+        th.emplace_back(work, n * s / n_threads, n * (s + 1) / n_threads);
+    for (auto& t : th) t.join();
+}
+
+// Fused cigar invert: relabel I<->D and reverse op order for records with
+// rev[r] set (paf_invert's cigar half, impl/paf.c:469-490 — order flips
+// only for opposite-strand records).  One threaded pass replaces the
+// numpy permutation build (arange + cumsum + two fancy gathers over ALL
+// ops when any record needs reversing).
+void invert_ops(long long n_records, const long long* off,
+                const unsigned char* ops, const long long* lens,
+                const unsigned char* rev,
+                unsigned char* new_ops, long long* new_lens,
+                long long n_threads) {
+    auto work = [&](long long r0, long long r1) {
+        for (long long r = r0; r < r1; ++r) {
+            const long long o0 = off[r], o1 = off[r + 1];
+            if (rev[r]) {
+                for (long long k = o0; k < o1; ++k) {
+                    const long long j = o1 - 1 - (k - o0);
+                    const unsigned char op = ops[j];
+                    new_ops[k] = op == 1 ? 2 : (op == 2 ? 1 : op);
+                    new_lens[k] = lens[j];
+                }
+            } else {
+                for (long long k = o0; k < o1; ++k) {
+                    const unsigned char op = ops[k];
+                    new_ops[k] = op == 1 ? 2 : (op == 2 ? 1 : op);
+                }
+                memcpy(new_lens + o0, lens + o0,
+                       (size_t)(o1 - o0) * sizeof(long long));
+            }
+        }
+    };
+    if (n_threads <= 1 || n_records < 1024) {
+        work(0, n_records);
+        return;
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s) {
+        const long long r0 = n_records * s / n_threads;
+        const long long r1 = n_records * (s + 1) / n_threads;
+        th.emplace_back(work, r0, r1);
+    }
+    for (auto& t : th) t.join();
 }
 
 // Greedy tile sweep over a pre-packed uint16 coverage arena — the host

@@ -146,6 +146,40 @@ def trim_unreliable_tails(t: PafTable, score_fraction: float,
     """paf_trim_unreliable_tails over a whole batch (impl/paf.c:906-953)."""
     if len(t) == 0 or len(t.ops) == 0:
         return t
+    from paffy_tpu import native
+    if not FORCE_NUMPY and native.get_lib() is not None:
+        # production path: identity stats, both decisions AND the apply in
+        # one threaded native sweep.  The suffix decision runs on the
+        # LOGICALLY inverted table (op order reversed only for
+        # opposite-strand records, paf_invert impl/paf.c:487-489) without
+        # materializing the invert, so each record's kept ops are one
+        # contiguous input range; the CSR rebuild is a threaded memcpy per
+        # record instead of the ~8 numpy full-array passes of the oracle
+        # form below.
+        res = native.trim_tails_apply(t.off, t.ops, t.lens, t.strand,
+                                      score_fraction, max_fraction_to_trim)
+        keep_a, keep_b, dq1, dt1, dq2, dt2 = res
+        if (np.array_equal(keep_a, t.off[:-1])
+                and np.array_equal(keep_b, t.off[1:])):
+            return t  # nothing trimmed anywhere in the batch
+        new_off = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(keep_b - keep_a, out=new_off[1:])
+        new_ops, new_lens = native.copy_op_ranges(keep_a, keep_b, new_off,
+                                                  t.ops, t.lens)
+        # pass 1 trims the cigar front: query consumed from qstart ('+') or
+        # qend ('-'), target always from tstart.  Pass 2 (inverted frame)
+        # consumes query from qstart on BOTH strands (for '+' this re-trims
+        # the front — the reference quirk above) and target from tstart
+        # ('+') or tend ('-').
+        return replace(
+            t,
+            qstart=t.qstart + np.where(t.strand, dq1, 0) + dq2,
+            qend=t.qend - np.where(t.strand, 0, dq1),
+            tstart=t.tstart + dt1 + np.where(t.strand, dt2, 0),
+            tend=t.tend - np.where(t.strand, 0, dt2),
+            ops=new_ops, lens=new_lens, off=new_off)
+
+    # numpy oracle / no-toolchain fallback
     m, mm = _match_mismatch_lens(t.ops, t.lens)
     tot_m = segment_sums_by_offsets(m, t.off)
     tot_mm = segment_sums_by_offsets(mm, t.off)
@@ -158,27 +192,6 @@ def trim_unreliable_tails(t: PafTable, score_fraction: float,
     # max_trim = (m+mm) * max_fraction_to_trim in float32, truncated
     max_trim = np.trunc(cols.astype(np.float32)
                         * np.float32(max_fraction_to_trim)).astype(np.int64)
-
-    from paffy_tpu import native
-    if not FORCE_NUMPY and native.get_lib() is not None:
-        # production path: native direction-flagged scans and rebuilds only
-        # when something actually trims — the suffix decision runs on the
-        # LOGICALLY inverted table (op order reversed only for
-        # opposite-strand records, paf_invert impl/paf.c:487-489) without
-        # materializing the invert; the invert+_trim_upto rebuild happens
-        # only for batches with a nonzero suffix trim
-        is_match = ((t.ops == MATCH) | (t.ops == SEQ_MATCH))
-        tc = native.trim_counts(t.off, is_match, t.lens, thr_f32, id_f32,
-                                max_trim)
-        if tc.any():
-            t = _trim_upto(t, tc)
-            is_match = ((t.ops == MATCH) | (t.ops == SEQ_MATCH))
-        tc2 = native.trim_counts(t.off, is_match, t.lens, thr_f32, id_f32,
-                                 max_trim, rev=~t.strand)
-        if tc2.any():
-            t = invert(_trim_upto(invert(t), tc2))
-        return t
-
     with np.errstate(invalid="ignore", divide="ignore"):
         tc = _trim_counts(t.ops, t.lens, t.off, thr_f32, id_f32, max_trim)
         t = _trim_upto(t, tc)

@@ -91,17 +91,26 @@ def _stats_calc_numpy(t: PafTable) -> dict[str, np.ndarray]:
 def invert(t: PafTable) -> PafTable:
     """Swap query<->target, relabel I<->D, and reverse op order for
     opposite-strand records (paf_invert, impl/paf.c:469-490)."""
-    new_ops = _INVERT_OP[t.ops]
-    new_lens = t.lens
     rev = ~t.strand
-    if rev.any() and len(t.ops):
-        seg, pos = _seg_pos(t.off)
-        cnt = t.off[1:] - t.off[:-1]
-        flip = rev[seg]
-        perm = np.where(flip, t.off[seg] + (cnt[seg] - 1 - pos),
-                        np.arange(len(t.ops), dtype=np.int64))
-        new_ops = new_ops[perm]
-        new_lens = t.lens[perm]
+    res = None
+    if len(t.ops):
+        from paffy_tpu import native
+        # production path: fused relabel+reverse in one threaded native
+        # pass; the numpy permutation form below is the fallback
+        res = native.invert_ops(t.off, t.ops, t.lens, rev)
+    if res is not None:
+        new_ops, new_lens = res
+    else:
+        new_ops = _INVERT_OP[t.ops]
+        new_lens = t.lens
+        if rev.any() and len(t.ops):
+            seg, pos = _seg_pos(t.off)
+            cnt = t.off[1:] - t.off[:-1]
+            flip = rev[seg]
+            perm = np.where(flip, t.off[seg] + (cnt[seg] - 1 - pos),
+                            np.arange(len(t.ops), dtype=np.int64))
+            new_ops = new_ops[perm]
+            new_lens = t.lens[perm]
     return replace(
         t,
         qname=t.tname, qlen=t.tlen, qstart=t.tstart, qend=t.tend,
@@ -261,36 +270,53 @@ def shatter(t: PafTable) -> PafTable:
         raise ValueError("paf shatter requires M-encoded cigars (no =/X runs)")
     if len(t.ops) == 0:
         return PafTable.empty()
-    seg = segment_ids_from_offsets(t.off, len(t.ops))
-    q_consuming = t.ops != QUERY_DELETE
-    t_consuming = t.ops != QUERY_INSERT
-    # exclusive prefix sums of query/target consumption within each record
-    qc = np.cumsum(np.where(q_consuming, t.lens, 0))
-    tc = np.cumsum(np.where(t_consuming, t.lens, 0))
-    seg_base_q = np.concatenate([[0], qc])[t.off[:-1]]
-    seg_base_t = np.concatenate([[0], tc])[t.off[:-1]]
-    q_excl = qc - np.where(q_consuming, t.lens, 0) - seg_base_q[seg]
-    t_excl = tc - np.where(t_consuming, t.lens, 0) - seg_base_t[seg]
+    from paffy_tpu import native
+    res = None
+    if native.get_lib() is not None:
+        # production path: the per-op coordinate walk in one threaded native
+        # CSR pass (the numpy form below pays ~8 full-array passes)
+        is_m = t.ops == MATCH
+        m_per_rec = segment_sums_by_offsets(is_m.astype(np.int64), t.off)
+        m_base = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(m_per_rec, out=m_base[1:])
+        k = int(m_base[-1])
+        res = native.shatter_walk(t.off, t.ops, t.lens, t.qstart, t.qend,
+                                  t.tstart, t.strand, m_base[:-1], k)
+    if res is not None:
+        rec, q_m, t_m, ln = res
+    else:
+        seg = segment_ids_from_offsets(t.off, len(t.ops))
+        q_consuming = t.ops != QUERY_DELETE
+        t_consuming = t.ops != QUERY_INSERT
+        # exclusive prefix sums of query/target consumption within each record
+        qc = np.cumsum(np.where(q_consuming, t.lens, 0))
+        tc = np.cumsum(np.where(t_consuming, t.lens, 0))
+        seg_base_q = np.concatenate([[0], qc])[t.off[:-1]]
+        seg_base_t = np.concatenate([[0], tc])[t.off[:-1]]
+        q_excl = qc - np.where(q_consuming, t.lens, 0) - seg_base_q[seg]
+        t_excl = tc - np.where(t_consuming, t.lens, 0) - seg_base_t[seg]
 
-    is_m = t.ops == MATCH
-    # query coordinate of each shard:
-    #   '+' strand: qstart + q_excl                 (walk forward)
-    #   '-' strand: qend - q_excl - len             (walk backward)
-    q_coord = np.where(t.strand[seg],
-                       t.qstart[seg] + q_excl,
-                       t.qend[seg] - q_excl - t.lens)
-    t_coord = t.tstart[seg] + t_excl
+        is_m = t.ops == MATCH
+        # query coordinate of each shard:
+        #   '+' strand: qstart + q_excl                 (walk forward)
+        #   '-' strand: qend - q_excl - len             (walk backward)
+        q_coord = np.where(t.strand[seg],
+                           t.qstart[seg] + q_excl,
+                           t.qend[seg] - q_excl - t.lens)
+        t_coord = t.tstart[seg] + t_excl
 
-    m = np.nonzero(is_m)[0]
-    rec = seg[m]
-    ln = t.lens[m]
-    k = len(m)
+        m = np.nonzero(is_m)[0]
+        rec = seg[m]
+        ln = t.lens[m]
+        q_m = q_coord[m]
+        t_m = t_coord[m]
+    k = len(rec)
     return PafTable(
         qname=t.qname[rec], qlen=t.qlen[rec],
-        qstart=q_coord[m], qend=q_coord[m] + ln,
+        qstart=q_m, qend=q_m + ln,
         strand=t.strand[rec],
         tname=t.tname[rec], tlen=t.tlen[rec],
-        tstart=t_coord[m], tend=t_coord[m] + ln,
+        tstart=t_m, tend=t_m + ln,
         num_matches=ln.copy(), num_bases=ln.copy(),
         mapq=t.mapq[rec], score=t.score[rec],
         tile_level=t.tile_level[rec],

@@ -146,18 +146,18 @@ def run_pipeline_multihost(t: PafTable, seqs: dict[str, str],
                    if mesh is not None else pipeline_stage(sub, pool))
             path = os.path.join(workdir, f"shard_{gi:06d}.paf")
             tmp = path + f".tmp{pidx}"
-            with open(tmp, "w") as fh:
-                fh.write(pafio.serialize_paf(out))
+            with open(tmp, "wb") as fh:
+                fh.write(pafio.serialize_paf_bytes(out))
             os.replace(tmp, path)      # atomic: re-runs are idempotent
 
     _barrier("paffy_pipeline_shards")
     if pidx != 0:
         return None
-    texts = []
+    blobs = []
     for gi in range(len(groups)):
-        with open(os.path.join(workdir, f"shard_{gi:06d}.paf")) as fh:
-            texts.append(fh.read())
-    return pafio.parse_paf_text("".join(texts))
+        with open(os.path.join(workdir, f"shard_{gi:06d}.paf"), "rb") as fh:
+            blobs.append(fh.read())
+    return pafio.parse_paf_data(b"".join(blobs))
 
 
 def _main(argv=None) -> int:
@@ -178,16 +178,16 @@ def _main(argv=None) -> int:
     a = p.parse_args(argv)
 
     initialize_from_env()
-    with open(a.paf) as fh:
-        t = pafio.parse_paf_text(fh.read())
+    with open(a.paf, "rb") as fh:
+        t = pafio.parse_paf_data(fh.read())
     with open(a.fasta) as fh:
         seqs = read_fasta(fh)
     workdir = a.workdir or (a.out + ".shards")
     res = run_pipeline_multihost(t, seqs, workdir, n_shards=a.shards,
                                  by_query=not a.by_target)
     if res is not None:
-        with open(a.out, "w") as fh:
-            fh.write(pafio.serialize_paf(res))
+        with open(a.out, "wb") as fh:
+            fh.write(pafio.serialize_paf_bytes(res))
     return 0
 
 
