@@ -11,7 +11,7 @@ from paffy_tpu.commands.common import (base_parser, start, read_table,
                                         write_table, open_output, stream_tables)
 from paffy_tpu.core import pafio
 from paffy_tpu.core.fasta import read_fasta
-from paffy_tpu.ops.chain import paf_chain
+from paffy_tpu.ops.chain import paf_chain_order
 from paffy_tpu.ops.tile import assign_tile_levels, tile_sort_order
 from paffy_tpu.ops.coverage import CoverageMap, run_length_rows
 from paffy_tpu.ops import transforms as tr
@@ -31,10 +31,14 @@ def chain_main(argv) -> int:
     log_info("Maximum gap length : %d", args.maxGapLength)
     log_info("Chain gap open : %d", args.chainGapOpen)
     log_info("Chain gap extend : %d", args.chainGapExtend)
-    t = read_table(args)
-    out = paf_chain(t, gap_open=args.chainGapOpen, gap_extend=args.chainGapExtend,
-                    max_gap=args.maxGapLength, pct_trim=args.trimFraction)
-    write_table(out, args)
+    # raw-cigar load: chain never reads per-op data and re-emits the cigar
+    # verbatim, exactly the reference's read_pafs(parse_cigar=0) at
+    # impl/paf_chain.c:128 (paf_check skips span checks on unparsed cigars)
+    t = read_table(args, parse_cigars=False)
+    tagged, perm = paf_chain_order(
+        t, gap_open=args.chainGapOpen, gap_extend=args.chainGapExtend,
+        max_gap=args.maxGapLength, pct_trim=args.trimFraction)
+    write_table(tagged, args, order=perm)
     timer.done()
     return 0
 
@@ -48,8 +52,9 @@ def tile_main(argv) -> int:
     order = tile_sort_order(t)
     levels = assign_tile_levels(t, order)
     t = replace(t, tile_level=levels)
-    # output in sorted best-first order (impl/paf_tile.c:157,178)
-    write_table(t.take(order), args)
+    # output in sorted best-first order (impl/paf_tile.c:157,178) — emitted
+    # via the serializer's order hook, no cigar copy
+    write_table(t, args, order=order)
     timer.done()
     return 0
 

@@ -96,18 +96,18 @@ def close_output_binary(fh):
     fh.close()
 
 
-def read_table(args):
+def read_table(args, parse_cigars: bool = True):
     fh = open_input_binary(args)
     try:
-        return pafio.parse_paf_data(fh.read())
+        return pafio.parse_paf_data(fh.read(), parse_cigars=parse_cigars)
     finally:
         close_input_binary(fh)
 
 
-def write_table(t, args):
+def write_table(t, args, order=None):
     fh = open_output_binary(args)
     try:
-        fh.write(pafio.serialize_paf_bytes(t))
+        fh.write(pafio.serialize_paf_bytes(t, order=order))
     finally:
         close_output_binary(fh)
 

@@ -79,6 +79,13 @@ class PafTable:
     ops: np.ndarray          # uint8  [T] — op codes
     lens: np.ndarray         # int64  [T] — run lengths
     off: np.ndarray          # int64  [N+1] — CSR offsets into ops/lens
+    # raw-cigar mode (the reference's read_pafs(parse_cigar=0),
+    # impl/paf_chain.c:128): (input_buffer: bytes, cg_start[N], cg_len[N])
+    # byte ranges of each unparsed cg tag; ops/lens are EMPTY and off is
+    # all-zero.  Only record-level transforms (tagging, reordering,
+    # serialization, coordinate edits) are valid on a raw table — anything
+    # reading per-op data must use a parsed table.
+    raw_cg: tuple | None = None
 
     # ---------------------------------------------------------------- basics
     def __len__(self) -> int:
@@ -148,12 +155,28 @@ class PafTable:
         """Row-subset (and/or reorder) by integer indices or boolean mask."""
         idx = np.asarray(idx)
         if idx.dtype == bool:
+            if idx.all():
+                return self  # keep-everything shortcut (common in filter)
             idx = np.nonzero(idx)[0]
         counts = (self.off[1:] - self.off[:-1])[idx]
         new_off = np.zeros(len(idx) + 1, dtype=np.int64)
         np.cumsum(counts, out=new_off[1:])
-        # gather the flat op ranges
-        gather = _range_gather(self.off[:-1][idx], counts)
+        starts = self.off[:-1][idx]
+        # gather the flat op ranges: native threaded memcpy per record when
+        # available, else the vectorized repeat+ramp form
+        new_ops = new_lens = None
+        try:
+            from paffy_tpu import native
+            res = native.copy_op_ranges(starts, starts + counts, new_off,
+                                        self.ops, self.lens)
+            if res is not None:
+                new_ops, new_lens = res
+        except ImportError:
+            pass
+        if new_ops is None:
+            gather = _range_gather(starts, counts)
+            new_ops = self.ops[gather]
+            new_lens = self.lens[gather]
         return PafTable(
             qname=self.qname[idx], qlen=self.qlen[idx], qstart=self.qstart[idx],
             qend=self.qend[idx], strand=self.strand[idx], tname=self.tname[idx],
@@ -163,10 +186,17 @@ class PafTable:
             tile_level=self.tile_level[idx], chain_id=self.chain_id[idx],
             chain_score=self.chain_score[idx], type=self.type[idx],
             has_cigar=self.has_cigar[idx],
-            ops=self.ops[gather], lens=self.lens[gather], off=new_off)
+            ops=new_ops, lens=new_lens, off=new_off,
+            raw_cg=(None if self.raw_cg is None else
+                    (self.raw_cg[0], self.raw_cg[1][idx],
+                     self.raw_cg[2][idx])))
 
     def copy(self) -> "PafTable":
-        return PafTable(**{k: v.copy() for k, v in self.__dict__.items()})
+        return PafTable(**{
+            k: (v if k == "raw_cg" and v is None else
+                (v[0], v[1].copy(), v[2].copy()) if k == "raw_cg" else
+                v.copy())
+            for k, v in self.__dict__.items()})
 
     def record_ops(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         """(ops, lens) slice views for record i."""

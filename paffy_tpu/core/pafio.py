@@ -58,7 +58,7 @@ def parse_paf_text(text: str) -> PafTable:
     return parse_paf_data(data)
 
 
-def parse_paf_data(data: bytes) -> PafTable:
+def parse_paf_data(data: bytes, parse_cigars: bool = True) -> PafTable:
     """Parse PAF bytes (one record per line) into a PafTable.
 
     The bytes-first entry point — the CLI plumbing reads files in binary
@@ -66,14 +66,49 @@ def parse_paf_data(data: bytes) -> PafTable:
     C++ tokenizer (paffy_tpu.native) when available, falling back to the
     portable Python implementation below.
 
-    The cigar is always parsed to ops (the reference's parse_cigar_string=0
-    mode only defers parsing; the canonical re-serialization is identical for
-    well-formed cigars, and every numeric transform needs ops anyway).
+    ``parse_cigars=False`` is the reference's parse_cigar_string=0 mode
+    (read_pafs at impl/paf_chain.c:128, impl/paf_tile.c:156): the cg tag is
+    kept as an unparsed byte range (PafTable.raw_cg) and re-emitted
+    verbatim — for commands that reorder/tag records without reading per-op
+    data.  Without the native toolchain the flag is ignored and cigars are
+    parsed (results identical for well-formed input; raw mode additionally
+    passes non-canonical cigars through untouched, as the reference does).
     """
+    if not parse_cigars:
+        table = _parse_native_raw(data)
+        if table is not None:
+            return table
     table = _parse_native(data)
     if table is not None:
         return table
     return _parse_python(data.decode("latin-1"))
+
+
+def _parse_native_raw(data: bytes) -> PafTable | None:
+    try:
+        from paffy_tpu import native
+    except ImportError:
+        return None
+    try:
+        res = native.parse_paf_bytes_raw(data)
+    except native.NativeParseError as e:
+        raise PafFormatError(str(e)) from e
+    if res is None:
+        return None
+    ints, flags, rtype, qnames, tnames, cg_start, cg_len = res
+    n = len(flags)
+    return PafTable(
+        qname=qnames, qlen=ints[:, 0].copy(), qstart=ints[:, 1].copy(),
+        qend=ints[:, 2].copy(), strand=(flags & 1).astype(bool),
+        tname=tnames, tlen=ints[:, 3].copy(), tstart=ints[:, 4].copy(),
+        tend=ints[:, 5].copy(), num_matches=ints[:, 6].copy(),
+        num_bases=ints[:, 7].copy(), mapq=ints[:, 8].copy(),
+        score=ints[:, 9].copy(), tile_level=ints[:, 10].copy(),
+        chain_id=ints[:, 11].copy(), chain_score=ints[:, 12].copy(),
+        type=rtype, has_cigar=(flags & 2).astype(bool),
+        ops=np.zeros(0, dtype=np.uint8), lens=np.zeros(0, dtype=np.int64),
+        off=np.zeros(n + 1, dtype=np.int64),
+        raw_cg=(data, cg_start, cg_len))
 
 
 def _parse_native(data: bytes) -> PafTable | None:
@@ -218,8 +253,13 @@ def format_record(t: PafTable, i: int) -> str:
     if int(t.chain_score[i]) != -1:
         line += f"\ts1:i:{int(t.chain_score[i])}"
     if t.has_cigar[i]:
-        s, e = t.off[i], t.off[i + 1]
-        line += "\tcg:Z:" + cigar_to_string(t.ops[s:e], t.lens[s:e])
+        if t.raw_cg is not None:
+            buf, cs, cl = t.raw_cg
+            line += "\tcg:Z:" + bytes(
+                buf[int(cs[i]): int(cs[i]) + int(cl[i])]).decode("latin-1")
+        else:
+            s, e = t.off[i], t.off[i + 1]
+            line += "\tcg:Z:" + cigar_to_string(t.ops[s:e], t.lens[s:e])
     return line
 
 
@@ -229,11 +269,14 @@ def serialize_paf(t: PafTable) -> str:
     return bytes(serialize_paf_bytes(t)).decode("latin-1")
 
 
-def serialize_paf_bytes(t: PafTable):
+def serialize_paf_bytes(t: PafTable, order=None):
     """Bytes-first serializer — the CLI plumbing writes binary so no codec
     pass touches the output.  Returns a bytes-like object (a zero-copy
     memoryview over the native serializer's exact-size buffer when the
-    toolchain is available, else bytes)."""
+    toolchain is available, else bytes).  ``order`` (optional int64
+    permutation) emits record order[r] at line r without materializing a
+    reordered table (the reference reorders stList pointers; copying the
+    CSR cigar store to reorder output costs two full-array passes)."""
     try:
         from paffy_tpu import native
     except ImportError:
@@ -241,11 +284,13 @@ def serialize_paf_bytes(t: PafTable):
     if native is not None and len(t):
         ints, flags = _table_to_arrays(t)
         out = native.serialize_paf_arrays(ints, flags, t.type, t.qname,
-                                          t.tname, t.ops, t.lens, t.off)
+                                          t.tname, t.ops, t.lens, t.off,
+                                          order=order, raw_cig=t.raw_cg)
         if out is not None:
             return out.data
-    return "".join(format_record(t, i) + "\n"
-                   for i in range(len(t))).encode("latin-1")
+    idx = order if order is not None else range(len(t))
+    return "".join(format_record(t, int(i)) + "\n"
+                   for i in idx).encode("latin-1")
 
 
 def read_paf_file(path_or_file) -> PafTable:
@@ -303,8 +348,9 @@ def paf_check(t: PafTable, idx=None) -> None:
     _raise_first(t, sel, bad, "Paf target start coordinates are invalid")
     bad = (t.tstart[sel] > t.tend[sel]) | (t.tend[sel] > t.tlen[sel])
     _raise_first(t, sel, bad, "Paf target end coordinates are invalid")
-    # cigar span check via segment sums over the CSR store
-    if len(t.ops):
+    # cigar span check via segment sums over the CSR store (skipped for
+    # raw-cigar tables, matching the reference's cigar==NULL guard)
+    if len(t.ops) and t.raw_cg is None:
         from .segsum import segment_sums_by_offsets
         q_consume = np.where(t.ops != 2, t.lens, 0)  # all but query_delete
         t_consume = np.where(t.ops != 1, t.lens, 0)  # all but query_insert

@@ -68,13 +68,23 @@ def get_lib():
         lib.paf_serialize_sizes.argtypes = [ctypes.c_longlong, _I64P, _U8P,
                                             _U8P, _I64P, _I64P,
                                             ctypes.c_char_p, _U8P, _I64P,
-                                            _I64P, _I64P, ctypes.c_longlong]
+                                            _I64P, _I64P, _I64P, _I64P,
+                                            ctypes.c_longlong]
         lib.paf_serialize_fill.restype = ctypes.c_longlong
         lib.paf_serialize_fill.argtypes = [ctypes.c_longlong, _I64P, _U8P,
                                            _U8P, _I64P, _I64P,
                                            ctypes.c_char_p, _U8P, _I64P,
-                                           _I64P, _I64P, ctypes.c_char_p,
+                                           _I64P, _I64P,
+                                           ctypes.c_char_p, _I64P, _I64P,
+                                           _I64P, ctypes.c_char_p,
                                            ctypes.c_longlong]
+        lib.paf_scan_raw.restype = ctypes.c_longlong
+        lib.paf_scan_raw.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                     _I64P, _I64P]
+        lib.paf_fill_raw.restype = ctypes.c_longlong
+        lib.paf_fill_raw.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                     _I64P, _U8P, _U8P, _I64P, _I64P,
+                                     ctypes.c_char_p, _I64P, _I64P]
         lib.paf_serialize_bound.restype = ctypes.c_longlong
         lib.paf_serialize_bound.argtypes = [ctypes.c_longlong,
                                             ctypes.c_longlong,
@@ -234,6 +244,49 @@ def parse_paf_bytes(data: bytes):
     return ints, flags, rtype, qnames, tnames, ops, lens, off
 
 
+def parse_paf_bytes_raw(data: bytes):
+    """Parse PAF text WITHOUT parsing cigars — the reference's
+    read_pafs(parse_cigar=0) mode (impl/paf_chain.c:128): the cg tag stays
+    an unparsed byte range into ``data`` and is re-emitted verbatim.
+
+    Returns (ints[n,13], flags[n], type[n], qnames, tnames, cg_start[n],
+    cg_len[n]) or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rec = ctypes.c_longlong()
+    name_bytes = ctypes.c_longlong()
+    rc = lib.paf_scan_raw(data, len(data), ctypes.byref(n_rec),
+                          ctypes.byref(name_bytes))
+    if rc != 0:
+        raise NativeParseError(f"malformed PAF at line {rc}")
+    n, nb = n_rec.value, name_bytes.value
+    ints = np.empty((n, 13), dtype=np.int64)
+    flags = np.empty(n, dtype=np.uint8)
+    rtype = np.empty(n, dtype=np.uint8)
+    qoff = np.empty(n, dtype=np.int64)
+    toff = np.empty(n, dtype=np.int64)
+    pool = np.empty(max(nb, 1), dtype=np.uint8)
+    cg_start = np.empty(n, dtype=np.int64)
+    cg_len = np.empty(n, dtype=np.int64)
+    rc = lib.paf_fill_raw(data, len(data), _p_i64(ints), _p_u8(flags),
+                          _p_u8(rtype), _p_i64(qoff), _p_i64(toff),
+                          pool.ctypes.data_as(ctypes.c_char_p),
+                          _p_i64(cg_start), _p_i64(cg_len))
+    if rc != 0:
+        raise NativeParseError(f"malformed PAF at line {rc}")
+    raw = pool.tobytes()
+    qnames = np.empty(n, dtype=object)
+    tnames = np.empty(n, dtype=object)
+    for i in range(n):
+        qend = raw.index(b"\0", qoff[i])
+        qnames[i] = raw[qoff[i]: qend].decode("latin-1")
+        tend = raw.index(b"\0", toff[i])
+        tnames[i] = raw[toff[i]: tend].decode("latin-1")
+    return ints, flags, rtype, qnames, tnames, cg_start, cg_len
+
+
 def _name_pool(qnames, tnames):
     """NUL-separated name pool + per-record offsets for the native
     formatters.  Each DISTINCT name is encoded and stored once (a shattered
@@ -275,10 +328,14 @@ def _name_pool(qnames, tnames):
 
 
 def serialize_paf_arrays(ints, flags, rtype, qnames, tnames, ops, lens, off,
+                         order=None, raw_cig=None,
                          n_threads: int | None = None):
     """Exact-size threaded serialization.  Returns a uint8 ndarray holding
     the serialized bytes (callers hand out a zero-copy memoryview), or None
-    without a toolchain."""
+    without a toolchain.  ``order`` (optional int64 permutation) emits
+    record order[r] at slot r — sorted output without copying cigars.
+    ``raw_cig`` = (buf: bytes, cg_start, cg_len) emits each cigar verbatim
+    from the original input buffer (the raw-parse mode)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -290,18 +347,33 @@ def serialize_paf_arrays(ints, flags, rtype, qnames, tnames, ops, lens, off,
     ops = np.ascontiguousarray(ops)
     lens = np.ascontiguousarray(lens, dtype=np.int64)
     off = np.ascontiguousarray(off, dtype=np.int64)
+    if order is not None:
+        order = np.ascontiguousarray(order, dtype=np.int64)
+        n = len(order)
+    p_order = _p_i64(order) if order is not None else None
+    raw_buf = None
+    cg_start = cg_len = None
+    p_cg_start = p_cg_len = None
+    if raw_cig is not None:
+        raw_buf, cg_start, cg_len = raw_cig
+        cg_start = np.ascontiguousarray(cg_start, dtype=np.int64)
+        cg_len = np.ascontiguousarray(cg_len, dtype=np.int64)
+        p_cg_start = _p_i64(cg_start)
+        p_cg_len = _p_i64(cg_len)
     nt = _default_threads(n_threads)
     out_off = np.empty(n + 1, dtype=np.int64)
     out_off[0] = 0
     lib.paf_serialize_sizes(n, _p_i64(ints), _p_u8(flags), _p_u8(rtype),
                             _p_i64(qoff), _p_i64(toff), pool, _p_u8(ops),
-                            _p_i64(lens), _p_i64(off), _p_i64(out_off[1:]),
-                            nt)
+                            _p_i64(lens), _p_i64(off), p_order, p_cg_len,
+                            _p_i64(out_off[1:]), nt)
     np.cumsum(out_off[1:], out=out_off[1:])
     out = np.empty(int(out_off[-1]), dtype=np.uint8)
     rc = lib.paf_serialize_fill(n, _p_i64(ints), _p_u8(flags), _p_u8(rtype),
                                 _p_i64(qoff), _p_i64(toff), pool, _p_u8(ops),
-                                _p_i64(lens), _p_i64(off), _p_i64(out_off),
+                                _p_i64(lens), _p_i64(off), p_order,
+                                raw_buf, p_cg_start, p_cg_len,
+                                _p_i64(out_off),
                                 out.ctypes.data_as(ctypes.c_char_p), nt)
     if rc != 0:  # measured/written drift — never expected; fail loudly
         raise RuntimeError("paf_serialize_fill length mismatch")
@@ -567,10 +639,15 @@ def coverage_counts(diff: np.ndarray, saturation: int):
 
 def paf_check_batch(t):
     """(first_bad_record, code) validation sweep, or None without a
-    toolchain.  Codes index core/pafio's error-message table."""
+    toolchain.  Codes index core/pafio's error-message table.  Raw-cigar
+    tables skip the cigar-span checks, exactly as the reference's
+    paf_check does for unparsed cigars (cigar==NULL guard)."""
     lib = get_lib()
     if lib is None:
         return None
+    has_cigar = t.has_cigar
+    if t.raw_cg is not None:
+        has_cigar = np.zeros(len(t.qstart), dtype=bool)
     code = np.zeros(1, dtype=np.int64)
     bad = lib.paf_check_batch(
         len(t.qstart), _p_i64(np.ascontiguousarray(t.off, dtype=np.int64)),
@@ -582,7 +659,7 @@ def paf_check_batch(t):
         _p_i64(np.ascontiguousarray(t.tstart, dtype=np.int64)),
         _p_i64(np.ascontiguousarray(t.tend, dtype=np.int64)),
         _p_i64(np.ascontiguousarray(t.tlen, dtype=np.int64)),
-        _p_u8(np.ascontiguousarray(t.has_cigar, dtype=np.uint8)),
+        _p_u8(np.ascontiguousarray(has_cigar, dtype=np.uint8)),
         _p_i64(code))
     return int(bad), int(code[0])
 

@@ -82,6 +82,42 @@ long long paf_scan(const char* buf, long long len,
     return 0;
 }
 
+// Raw-cigar scan: count records and name bytes only — the cg tag is kept
+// as an unparsed byte range (the reference's read_pafs(parse_cigar=0)
+// mode, impl/paf_chain.c:128 / impl/paf_tile.c:156: commands that never
+// touch per-op data skip the digit parse entirely and re-emit the string
+// verbatim).
+long long paf_scan_raw(const char* buf, long long len,
+                       long long* n_records, long long* name_bytes) {
+    long long recs = 0, names = 0;
+    long long line_no = 0;
+    const char* p = buf;
+    const char* end = buf + len;
+    while (p < end) {
+        const char* eol = (const char*)memchr(p, '\n', end - p);
+        const char* le = eol ? eol : end;
+        ++line_no;
+        if (le == p) { p = le + 1; continue; }
+        const char* t = (const char*)memchr(p, '\t', le - p);
+        if (!t) return line_no;
+        names += t - p + 1;
+        const char* q = t + 1;
+        for (int f = 0; f < 4; ++f) {
+            q = (const char*)memchr(q, '\t', le - q);
+            if (!q) return line_no;
+            ++q;
+        }
+        t = (const char*)memchr(q, '\t', le - q);
+        if (!t) return line_no;
+        names += t - q + 1;
+        ++recs;
+        p = le + 1;
+    }
+    *n_records = recs;
+    *name_bytes = names;
+    return 0;
+}
+
 static inline long long parse_i64(const char* s, const char* e) {
     long long v = 0;
     bool neg = false;
@@ -214,6 +250,101 @@ long long paf_fill(const char* buf, long long len,
     return 0;
 }
 
+// Raw-cigar fill: identical field/tag walk to paf_fill, but the cg tag is
+// recorded as an unparsed [cg_start, cg_start+cg_len) byte range into the
+// input buffer instead of op arrays (paf_scan_raw's pass 2).
+long long paf_fill_raw(const char* buf, long long len,
+                       long long* ints,          // [n_records * 13]
+                       unsigned char* flags, unsigned char* type,
+                       long long* qname_off, long long* tname_off,
+                       char* name_pool,
+                       long long* cg_start, long long* cg_len) {
+    long long rec = 0, npos = 0;
+    long long line_no = 0;
+    const char* p = buf;
+    const char* end = buf + len;
+    while (p < end) {
+        const char* eol = (const char*)memchr(p, '\n', end - p);
+        const char* le = eol ? eol : end;
+        ++line_no;
+        if (le == p) { p = le + 1; continue; }
+        const char* f[13];
+        int nf = 0;
+        const char* s = p;
+        while (nf < 12) {
+            f[nf++] = s;
+            const char* t = (const char*)memchr(s, '\t', le - s);
+            if (!t) { if (nf < 12) { f[nf] = le; } break; }
+            s = t + 1;
+        }
+        if (nf < 12) return line_no;
+        const char* fe[12];
+        for (int k = 0; k < 11; ++k) fe[k] = f[k + 1] - 1;
+        {
+            const char* t = (const char*)memchr(f[11], '\t', le - f[11]);
+            fe[11] = t ? t : le;
+        }
+        long long* R = ints + rec * 13;
+        qname_off[rec] = npos;
+        memcpy(name_pool + npos, f[0], fe[0] - f[0]);
+        npos += fe[0] - f[0];
+        name_pool[npos++] = '\0';
+        tname_off[rec] = npos;
+        memcpy(name_pool + npos, f[5], fe[5] - f[5]);
+        npos += fe[5] - f[5];
+        name_pool[npos++] = '\0';
+        R[0] = parse_i64(f[1], fe[1]);
+        R[1] = parse_i64(f[2], fe[2]);
+        R[2] = parse_i64(f[3], fe[3]);
+        char strand = *f[4];
+        if (strand != '+' && strand != '-') return line_no;
+        R[3] = parse_i64(f[6], fe[6]);
+        R[4] = parse_i64(f[7], fe[7]);
+        R[5] = parse_i64(f[8], fe[8]);
+        R[6] = parse_i64(f[9], fe[9]);
+        R[7] = parse_i64(f[10], fe[10]);
+        R[8] = parse_i64(f[11], fe[11]);
+        R[9] = 0; R[10] = -1; R[11] = -1; R[12] = -1;
+        unsigned char fl = (strand == '+') ? 1 : 0;
+        type[rec] = 0;
+        cg_start[rec] = 0;
+        cg_len[rec] = 0;
+        const char* tg = fe[11];
+        while (tg < le && *tg == '\t') {
+            ++tg;
+            const char* te = (const char*)memchr(tg, '\t', le - tg);
+            if (!te) te = le;
+            if (te - tg >= 5 && tg[2] == ':' && tg[4] == ':') {
+                const char* v = tg + 5;
+                if (tg[0] == 't' && tg[1] == 'p') {
+                    char c = *v;
+                    if (c != 'P' && c != 'S' && c != 'I') return line_no;
+                    type[rec] = (unsigned char)c;
+                } else if (tg[0] == 'A' && tg[1] == 'S') {
+                    R[9] = parse_i64(v, te);
+                } else if (tg[0] == 't' && tg[1] == 'l') {
+                    R[10] = parse_i64(v, te);
+                } else if (tg[0] == 'c' && tg[1] == 'n') {
+                    R[11] = parse_i64(v, te);
+                } else if (tg[0] == 's' && tg[1] == '1') {
+                    R[12] = parse_i64(v, te);
+                } else if (tg[0] == 'c' && tg[1] == 'g') {
+                    if (te > v) {
+                        cg_start[rec] = v - buf;
+                        cg_len[rec] = te - v;
+                        fl |= 2;
+                    }
+                }
+            }
+            tg = te;
+        }
+        flags[rec] = fl;
+        ++rec;
+        p = le + 1;
+    }
+    return 0;
+}
+
 // ---------------------------------------------------------- serialization
 
 static inline char* write_i64(char* b, long long v) {
@@ -318,7 +449,8 @@ static long long record_ser_len(long long i, const long long* ints,
                                 const char* name_pool,
                                 const unsigned char* ops,
                                 const long long* op_lens,
-                                const long long* cig_off) {
+                                const long long* cig_off,
+                                const long long* cg_len) {
     const long long* R = ints + i * 13;
     long long n = (long long)strlen(name_pool + qname_off[i])
                 + (long long)strlen(name_pool + tname_off[i])
@@ -331,12 +463,18 @@ static long long record_ser_len(long long i, const long long* ints,
     if (R[12] != -1) n += 6 + i64_digits(R[12]);
     if (flags[i] & 2) {
         n += 6;
-        for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k)
-            n += i64_digits(op_lens[k]) + 1;
+        if (cg_len)  // raw-cigar mode: verbatim bytes
+            n += cg_len[i];
+        else
+            for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k)
+                n += i64_digits(op_lens[k]) + 1;
     }
     return n;
 }
 
+// ``order`` (nullable) emits record order[r] at slot r — output
+// reordering without ever copying the cigar arrays (the reference
+// reorders an stList of pointers; chain/tile sorted output uses this).
 void paf_serialize_sizes(long long n_records,
                          const long long* ints, const unsigned char* flags,
                          const unsigned char* type,
@@ -344,13 +482,14 @@ void paf_serialize_sizes(long long n_records,
                          const long long* tname_off,
                          const char* name_pool,
                          const unsigned char* ops, const long long* op_lens,
-                         const long long* cig_off,
+                         const long long* cig_off, const long long* order,
+                         const long long* cg_len,  // nullable: raw mode
                          long long* sizes, long long n_threads) {
     auto work = [&](long long r0, long long r1) {
-        for (long long i = r0; i < r1; ++i)
-            sizes[i] = record_ser_len(i, ints, flags, type, qname_off,
-                                      tname_off, name_pool, ops, op_lens,
-                                      cig_off);
+        for (long long r = r0; r < r1; ++r)
+            sizes[r] = record_ser_len(order ? order[r] : r, ints, flags,
+                                      type, qname_off, tname_off, name_pool,
+                                      ops, op_lens, cig_off, cg_len);
     };
     if (n_threads <= 1 || n_records < 4096) {
         work(0, n_records);
@@ -374,14 +513,18 @@ long long paf_serialize_fill(long long n_records,
                              const char* name_pool,
                              const unsigned char* ops,
                              const long long* op_lens,
-                             const long long* cig_off,
+                             const long long* cig_off, const long long* order,
+                             const char* raw_buf,       // nullable: raw mode
+                             const long long* cg_start,
+                             const long long* cg_len,
                              const long long* out_off,  // n+1, cumsum(sizes)
                              char* out, long long n_threads) {
     static const char opch[5] = {'M', 'I', 'D', '=', 'X'};
     volatile long long bad = 0;
     auto work = [&](long long r0, long long r1) {
-        for (long long i = r0; i < r1; ++i) {
-            char* b = out + out_off[i];
+        for (long long r = r0; r < r1; ++r) {
+            const long long i = order ? order[r] : r;
+            char* b = out + out_off[r];
             const long long* R = ints + i * 13;
             const char* qn = name_pool + qname_off[i];
             size_t ql = strlen(qn);
@@ -424,13 +567,18 @@ long long paf_serialize_fill(long long n_records,
             }
             if (flags[i] & 2) {
                 memcpy(b, "\tcg:Z:", 6); b += 6;
-                for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k) {
-                    b = write_i64(b, op_lens[k]);
-                    *b++ = opch[ops[k]];
+                if (raw_buf) {
+                    memcpy(b, raw_buf + cg_start[i], (size_t)cg_len[i]);
+                    b += cg_len[i];
+                } else {
+                    for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k) {
+                        b = write_i64(b, op_lens[k]);
+                        *b++ = opch[ops[k]];
+                    }
                 }
             }
             *b++ = '\n';
-            if (b - (out + out_off[i]) != out_off[i + 1] - out_off[i])
+            if (b - (out + out_off[r]) != out_off[r + 1] - out_off[r])
                 bad = 1;
         }
     };

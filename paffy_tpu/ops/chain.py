@@ -263,10 +263,26 @@ def paf_chain(t: PafTable, gap_open: int = 5000, gap_extend: int = 1,
     (see _chain_strand_set) — identical results, one device dispatch for all
     groups.
     """
+    tagged, perm = paf_chain_order(t, gap_open=gap_open,
+                                   gap_extend=gap_extend, max_gap=max_gap,
+                                   pct_trim=pct_trim, check=check,
+                                   dp_many=dp_many)
+    return tagged.take(perm) if perm is not None else tagged
+
+
+def paf_chain_order(t: PafTable, gap_open: int = 5000, gap_extend: int = 1,
+                    max_gap: int = 1000000, pct_trim: float = 1.0,
+                    check: bool = True, dp_many=None):
+    """paf_chain without materializing the reordered table: returns
+    (tagged, perm) where ``tagged`` is the input table with cn/s1 tags set
+    in INPUT order and ``perm`` is the output permutation (descending
+    score, stable — impl/chaining.c:337).  Serializing tagged with
+    order=perm is byte-identical to paf_chain's output while never copying
+    the cigar store (the reference reorders stList pointers)."""
     assert 0.0 <= pct_trim <= 1.0
     n = len(t)
     if n == 0:
-        return t
+        return t, None
     # per-record coordinate trim for chaining (impl/chaining.c:274-289);
     # C computes each span*pct in float32 then truncates, then min/2
     q_span = (t.qend - t.qstart).astype(np.float32)
@@ -294,11 +310,16 @@ def paf_chain(t: PafTable, gap_open: int = 5000, gap_extend: int = 1,
                                         dp_many=dp_many)
 
     order = np.concatenate([o1, o2])
-    out = t.take(order)
-    out = replace(out, chain_id=np.concatenate([id1, id2]),
-                  chain_score=np.concatenate([cs1, cs2]))
+    # scatter tags back to input positions (tags are per-record; the
+    # reference mutates the records in place, chain_to_pafs :115-131)
+    cid = np.full(n, -1, dtype=np.int64)
+    cscore = np.full(n, -1, dtype=np.int64)
+    cid[order] = np.concatenate([id1, id2])
+    cscore[order] = np.concatenate([cs1, cs2])
+    tagged = replace(t, chain_id=cid, chain_score=cscore)
     if check:
-        paf_check(out)
-    # final sort: descending score, stable (impl/chaining.c:337)
-    final = np.argsort(-out.score, kind="stable")
-    return out.take(final)
+        paf_check(tagged)
+    # final sort: descending score, stable over the strand-set
+    # concatenation order (impl/chaining.c:337)
+    final = np.argsort(-tagged.score[order], kind="stable")
+    return tagged, order[final]

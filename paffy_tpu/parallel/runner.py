@@ -165,6 +165,12 @@ def concat_tables(tables: list[PafTable]) -> PafTable:
     out = {}
     for f in fields(PafTable):
         arrs = [getattr(x, f.name) for x in tables]
+        if f.name == "raw_cg":
+            # raw-cigar tables are a CLI-local serialization mode; shard
+            # merges operate on parsed tables only
+            assert all(a is None for a in arrs), \
+                "concat_tables requires parsed-cigar tables"
+            continue
         if f.name == "off":
             off = [arrs[0]]
             base = arrs[0][-1]
