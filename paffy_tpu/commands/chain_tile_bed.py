@@ -88,8 +88,10 @@ def to_bed_main(argv) -> int:
             keep &= np.where(vals == 0, not args.excludeUnaligned,
                              not args.excludeAligned)
             shown = np.where(vals > 0, 1, 0) if args.binary else vals
-            for s, e, v in zip(starts[keep], ends[keep], shown[keep]):
-                out.write(f"{name} {s} {e} {v}\n")
+            # .tolist() first: f-strings over Python ints beat numpy scalars
+            rows = zip(starts[keep].tolist(), ends[keep].tolist(),
+                       shown[keep].tolist())
+            out.write("".join(f"{name} {s} {e} {v}\n" for s, e, v in rows))
         # whole-missing FASTA records as 0-coverage rows
         # (write_missing_fasta_seqs, impl/paf_to_bed.c:63-67,187-190)
         if args.excludeAligned and args.queryFastaFile:

@@ -208,9 +208,8 @@ def add_mismatches_main(argv) -> int:
     timer = start(args, "Paffy add_mismatches")
     pool = None
     if not args.removeMismatches:
-        seqs = load_sequences(args.fasta_files)
-        log_info("Read %d sequences from sequence files", len(seqs))
-        pool = SequencePool(seqs)
+        pool = SequencePool.from_fasta_files(args.fasta_files)
+        log_info("Read %d sequences from sequence files", len(pool.index))
 
     def step(t):
         if args.removeMismatches:

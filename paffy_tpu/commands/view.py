@@ -44,7 +44,7 @@ def _ident_gaps(matches, mismatches, qib, qdb):
         return np.float32(matches) / np.float32(matches + mismatches + qib + qdb)
 
 
-def pretty_print_record(t, i, stats, out, include_alignment, seqs):
+def pretty_print_record(t, i, stats, out, include_alignment, pool):
     """Per-record stat line + optional alignment rendering
     (paf_pretty_print, impl/paf.c:269-315)."""
     m = int(stats["matches"][i])
@@ -62,17 +62,17 @@ def pretty_print_record(t, i, stats, out, include_alignment, seqs):
         f"\tIdentity-with-gaps{_f(_ident_gaps(m, x, qib, qdb))}"
         f"\tAligned-bases:{m+x}\tQuery-inserts:{qi}\tQuery-deletes:{qd}\n")
     if include_alignment:
-        _render_alignment(t, i, out, seqs)
+        _render_alignment(t, i, out, pool)
 
 
-def _render_alignment(t, i, out, seqs):
+def _render_alignment(t, i, out, pool):
     """3-row alignment rendering in 150-column windows (impl/paf.c:282-314),
     vectorized over the record's columns."""
     ops, lens = t.record_ops(i)
     if len(ops) == 0:
         return
-    qb = seq_to_bytes(seqs[t.qname[i]])
-    tb = seq_to_bytes(seqs[t.tname[i]])
+    qb = pool.seq_bytes(t.qname[i])
+    tb = pool.seq_bytes(t.tname[i])
     lens = lens.astype(np.int64)
     n_cols = int(lens.sum())
     col_off = np.concatenate([[0], np.cumsum(lens)])
@@ -120,10 +120,8 @@ def main(argv) -> int:
     if not args.fasta_files:
         print("Expected at least one sequence file", file=sys.stderr)
         return 1
-    seqs = load_sequences(args.fasta_files)
-    log_info("Read %d sequences from sequence files", len(seqs))
-
-    pool = SequencePool(seqs)
+    pool = SequencePool.from_fasta_files(args.fasta_files)
+    log_info("Read %d sequences from sequence files", len(pool.index))
     out = open_output(args)
     totals = np.zeros(6, dtype=np.int64)  # m, x, qi, qd, qib, qdb
     n_total = 0
@@ -158,12 +156,12 @@ def main(argv) -> int:
                 if blob is None:           # no toolchain: python fallback
                     for i in range(len(t)):
                         pretty_print_record(t, i, stats, out,
-                                            args.includeAlignment, seqs)
+                                            args.includeAlignment, pool)
                 elif args.includeAlignment:
                     lines = blob.decode("latin-1").splitlines(keepends=True)
                     for i in range(len(t)):
                         out.write(lines[i])
-                        _render_alignment(t, i, out, seqs)
+                        _render_alignment(t, i, out, pool)
                 else:
                     out.write(blob.decode("latin-1"))
             totals += np.array([stats["matches"].sum(),

@@ -154,6 +154,35 @@ def seq_to_bytes(seq: str) -> np.ndarray:
     return np.frombuffer(seq.encode("latin-1"), dtype=np.uint8)
 
 
+def fasta_pool_from_bytes(datas: list[bytes]):
+    """(pool: uint8 array, index {name: (offset, length)}) built directly
+    from FASTA file bytes in two native passes (native.fasta_pack_bytes) —
+    no per-line Python string work (the str path measured ~3.7 s for a
+    134 MB chromosome: splitlines + per-line join + re-encode).
+
+    Returns None without a native toolchain — caller falls back to
+    read_fasta + pack_sequences.  Duplicate names keep the LAST occurrence
+    in the index, matching dict-overwrite semantics (both copies' bytes
+    stay in the pool; only the index entry is replaced).
+    """
+    from paffy_tpu import native
+    parts: list[np.ndarray] = []
+    index: dict[str, tuple[int, int]] = {}
+    pos = 0
+    for data in datas:
+        res = native.fasta_pack_bytes(data)
+        if res is None:
+            return None
+        pool, records = res
+        parts.append(pool)
+        for name, off, ln in records:
+            index[name] = (pos + off, ln)
+        pos += len(pool)
+    pool = (np.concatenate(parts) if len(parts) > 1
+            else (parts[0] if parts else np.empty(0, dtype=np.uint8)))
+    return pool, index
+
+
 def pack_sequences(seqs: dict[str, str]) -> tuple[np.ndarray, dict[str, tuple[int, int]]]:
     """Concatenate sequences into one uint8 pool.
 

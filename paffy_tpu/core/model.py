@@ -205,8 +205,11 @@ class PafTable:
 
     def with_cigars(self, ops: np.ndarray, lens: np.ndarray, off: np.ndarray,
                     has_cigar: np.ndarray | None = None) -> "PafTable":
-        return replace(self, ops=ops.astype(np.uint8), lens=lens.astype(np.int64),
-                       off=off.astype(np.int64),
+        # copy=False: callers hand in freshly built arrays; a forced copy
+        # measured ~1 s on a 24M-op encode output
+        return replace(self, ops=ops.astype(np.uint8, copy=False),
+                       lens=lens.astype(np.int64, copy=False),
+                       off=off.astype(np.int64, copy=False),
                        has_cigar=self.has_cigar if has_cigar is None else has_cigar)
 
     # -------------------------------------------------------------- grouping

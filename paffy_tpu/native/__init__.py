@@ -175,6 +175,28 @@ def get_lib():
         lib.coverage_counts.restype = None
         lib.coverage_counts.argtypes = [_I64P, ctypes.c_longlong,
                                         ctypes.c_longlong, _U16P]
+        lib.coverage_counts32.restype = None
+        lib.coverage_counts32.argtypes = [_I32P, ctypes.c_longlong,
+                                          ctypes.c_longlong, _U16P]
+        lib.fasta_scan.restype = None
+        lib.fasta_scan.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                   _I64P, _I64P, _I64P]
+        lib.fasta_fill.restype = None
+        lib.fasta_fill.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                   ctypes.c_char_p, _I64P, _I64P, _I64P,
+                                   _U8P]
+        lib.encode_rebuild_offsets.restype = None
+        lib.encode_rebuild_offsets.argtypes = [ctypes.c_longlong, _U8P,
+                                               _I64P, _I64P, _I64P, _I64P,
+                                               _U8P, _I64P]
+        lib.coverage_add.restype = None
+        lib.coverage_add.argtypes = [_I32P, _I64P, _I64P, ctypes.c_longlong]
+        lib.rle_u16_count.restype = ctypes.c_longlong
+        lib.rle_u16_count.argtypes = [_U16P, ctypes.c_longlong,
+                                      ctypes.c_longlong]
+        lib.rle_u16_fill.restype = None
+        lib.rle_u16_fill.argtypes = [_U16P, ctypes.c_longlong,
+                                     ctypes.c_longlong, _I64P, _I64P, _I64P]
         lib.paf_check_batch.restype = ctypes.c_longlong
         lib.paf_check_batch.argtypes = [ctypes.c_longlong, _I64P, _U8P,
                                         _I64P, _I64P, _I64P, _I64P, _I64P,
@@ -626,15 +648,108 @@ def invert_ops(off, ops, lens, rev, n_threads: int | None = None):
 
 def coverage_counts(diff: np.ndarray, saturation: int):
     """Running-sum + uint16 saturation of a coverage diff array in one pass
-    (exact semantics of np.minimum(np.cumsum(diff), sat).astype(uint16))."""
+    (exact semantics of np.minimum(np.cumsum(diff), sat).astype(uint16)).
+    int32 diffs take the 32-bit pass (half the memory traffic)."""
     lib = get_lib()
     if lib is None:
         return None
     out = np.empty(len(diff), dtype=np.uint16)
-    lib.coverage_counts(
-        _p_i64(np.ascontiguousarray(diff, dtype=np.int64)), len(diff),
-        saturation, out.ctypes.data_as(_U16P))
+    if diff.dtype == np.int32:
+        lib.coverage_counts32(
+            np.ascontiguousarray(diff).ctypes.data_as(
+                ctypes.POINTER(ctypes.c_int)), len(diff),
+            saturation, out.ctypes.data_as(_U16P))
+    else:
+        lib.coverage_counts(
+            _p_i64(np.ascontiguousarray(diff, dtype=np.int64)), len(diff),
+            saturation, out.ctypes.data_as(_U16P))
     return out
+
+
+def fasta_pack_bytes(data: bytes):
+    """Two-pass native FASTA pack: (pool: uint8 array, records:
+    [(name, offset, length)] in file order), or None without a toolchain.
+    read_fasta semantics (trimmed sequence-line spans, rstripped headers,
+    pre-header content skipped)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rec = ctypes.c_longlong()
+    seq_b = ctypes.c_longlong()
+    name_b = ctypes.c_longlong()
+    lib.fasta_scan(data, len(data), ctypes.byref(n_rec),
+                   ctypes.byref(seq_b), ctypes.byref(name_b))
+    n, sb, nb = n_rec.value, seq_b.value, name_b.value
+    name_pool = np.empty(max(nb, 1), dtype=np.uint8)
+    name_off = np.empty(n, dtype=np.int64)
+    seq_off = np.empty(n, dtype=np.int64)
+    seq_len = np.empty(n, dtype=np.int64)
+    pool = np.empty(sb, dtype=np.uint8)
+    lib.fasta_fill(data, len(data),
+                   name_pool.ctypes.data_as(ctypes.c_char_p),
+                   _p_i64(name_off), _p_i64(seq_off), _p_i64(seq_len),
+                   _p_u8(pool))
+    raw = name_pool.tobytes()
+    records = []
+    for i in range(n):
+        ne = raw.index(b"\0", name_off[i])
+        records.append((raw[name_off[i]: ne].decode("latin-1"),
+                        int(seq_off[i]), int(seq_len[i])))
+    return pool, records
+
+
+def encode_rebuild_offsets(ops, lens, runs_per_mop, total_out):
+    """One-walk CSR rebuild offsets for the mismatch encoder; returns
+    (out_off_per_op, m_out_off, new_ops, new_lens) with non-M ops already
+    written through, or None without a toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_ops = len(ops)
+    out_off = np.empty(n_ops + 1, dtype=np.int64)
+    m_out_off = np.empty(len(runs_per_mop), dtype=np.int64)
+    new_ops = np.empty(total_out, dtype=np.uint8)
+    new_lens = np.empty(total_out, dtype=np.int64)
+    lib.encode_rebuild_offsets(
+        n_ops, _p_u8(np.ascontiguousarray(ops, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(runs_per_mop, dtype=np.int64)),
+        _p_i64(out_off), _p_i64(m_out_off), _p_u8(new_ops),
+        _p_i64(new_lens))
+    return out_off, m_out_off, new_ops, new_lens
+
+
+def coverage_add(diff: np.ndarray, starts, ends) -> bool:
+    """d[start]++ / d[end]-- interval scatter (np.add.at replacement);
+    returns False without a toolchain."""
+    lib = get_lib()
+    if lib is None or diff.dtype != np.int32:
+        return False
+    lib.coverage_add(
+        diff.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _p_i64(np.ascontiguousarray(starts, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(ends, dtype=np.int64)), len(starts))
+    return True
+
+
+def rle_u16(counts: np.ndarray, binary: bool):
+    """(starts, ends, vals) maximal equal-count runs of a uint16 array
+    (write_bed semantics; binary splits on the >0 indicator), or None
+    without a toolchain."""
+    lib = get_lib()
+    if lib is None or counts.dtype != np.uint16:
+        return None
+    counts = np.ascontiguousarray(counts)
+    n = len(counts)
+    p = counts.ctypes.data_as(_U16P)
+    k = int(lib.rle_u16_count(p, n, int(binary)))
+    starts = np.empty(k, dtype=np.int64)
+    ends = np.empty(k, dtype=np.int64)
+    vals = np.empty(k, dtype=np.int64)
+    if n:
+        lib.rle_u16_fill(p, n, int(binary), _p_i64(starts), _p_i64(ends),
+                         _p_i64(vals))
+    return starts, ends, vals
 
 
 def paf_check_batch(t):

@@ -810,6 +810,183 @@ void coverage_counts(const long long* diff, long long n,
     }
 }
 
+// int32-diff variant (the diff values fit int32 at uint16 saturation; the
+// int64 form above predates the dtype shrink and stays for compatibility).
+void coverage_counts32(const int* diff, long long n,
+                       long long saturation, unsigned short* out) {
+    long long run = 0;
+    const long long sat = saturation;
+    for (long long i = 0; i < n; ++i) {
+        run += diff[i];
+        out[i] = (unsigned short)(run > sat ? sat : run);
+    }
+}
+
+// FASTA pool scan/fill (core/fasta.fasta_pool_from_bytes): two passes over
+// the raw file bytes building the concatenated sequence pool directly — no
+// per-line Python strings and no multi-pass numpy masks (the numpy form
+// pays ~8 full-array passes; this is 2).  Semantics mirror read_fasta:
+// header = line starting '>', name = line[1:] with trailing whitespace
+// stripped; sequence lines contribute their whitespace-TRIMMED span
+// (interior bytes kept verbatim); content before the first header and
+// empty lines are skipped.
+static inline bool is_ws(char c) {
+    return c == ' ' || c == '\t' || c == '\r' || c == '\v' || c == '\f';
+}
+
+void fasta_scan(const char* buf, long long len,
+                long long* n_records, long long* seq_bytes,
+                long long* name_bytes) {
+    long long recs = 0, sb = 0, nb = 0;
+    bool in_rec = false;
+    const char* p = buf;
+    const char* end = buf + len;
+    while (p < end) {
+        const char* eol = (const char*)memchr(p, '\n', end - p);
+        const char* le = eol ? eol : end;
+        if (le > p) {
+            if (*p == '>') {
+                const char* ne = le;
+                while (ne > p + 1 && is_ws(ne[-1])) --ne;
+                nb += (ne - p - 1) + 1;  // name + NUL
+                ++recs;
+                in_rec = true;
+            } else if (in_rec) {
+                const char* s = p;
+                const char* e = le;
+                while (s < e && is_ws(*s)) ++s;
+                while (e > s && is_ws(e[-1])) --e;
+                sb += e - s;
+            }
+        }
+        p = le + 1;
+    }
+    *n_records = recs;
+    *seq_bytes = sb;
+    *name_bytes = nb;
+}
+
+void fasta_fill(const char* buf, long long len,
+                char* name_pool, long long* name_off,
+                long long* seq_off, long long* seq_len,
+                unsigned char* pool) {
+    long long rec = -1, npos = 0, pos = 0;
+    const char* p = buf;
+    const char* end = buf + len;
+    while (p < end) {
+        const char* eol = (const char*)memchr(p, '\n', end - p);
+        const char* le = eol ? eol : end;
+        if (le > p) {
+            if (*p == '>') {
+                if (rec >= 0) seq_len[rec] = pos - seq_off[rec];
+                ++rec;
+                const char* ne = le;
+                while (ne > p + 1 && is_ws(ne[-1])) --ne;
+                name_off[rec] = npos;
+                memcpy(name_pool + npos, p + 1, ne - p - 1);
+                npos += ne - p - 1;
+                name_pool[npos++] = '\0';
+                seq_off[rec] = pos;
+            } else if (rec >= 0) {
+                const char* s = p;
+                const char* e = le;
+                while (s < e && is_ws(*s)) ++s;
+                while (e > s && is_ws(e[-1])) --e;
+                memcpy(pool + pos, s, e - s);
+                pos += e - s;
+            }
+        }
+        p = le + 1;
+    }
+    if (rec >= 0) seq_len[rec] = pos - seq_off[rec];
+}
+
+// Mismatch-encode CSR rebuild, offsets half: one walk over the original
+// ops computing each op's output offset (M ops contribute their =/X run
+// count, taken from runs_per_mop in M-op order; everything else writes
+// through op+len at its slot).  Emits out_off_per_op (n_ops+1), the M ops'
+// output offsets in M-op order (for encode_runs_fill_cigar), and the
+// pass-through ops/lens — replacing a ~6-pass numpy chain (contrib
+// scatter, cumsum, boolean masks, two fancy scatters) over the 24M-op
+// encode output.
+void encode_rebuild_offsets(long long n_ops, const unsigned char* ops,
+                            const long long* lens,
+                            const long long* runs_per_mop,  // [n_m_ops]
+                            long long* out_off_per_op,      // [n_ops + 1]
+                            long long* m_out_off,           // [n_m_ops]
+                            unsigned char* new_ops, long long* new_lens) {
+    long long pos = 0, m = 0;
+    out_off_per_op[0] = 0;
+    for (long long k = 0; k < n_ops; ++k) {
+        if (ops[k] == 0) {  // M: replaced by its =/X runs
+            m_out_off[m] = pos;
+            pos += runs_per_mop[m];
+            ++m;
+        } else {
+            new_ops[pos] = ops[k];
+            new_lens[pos] = lens[k];
+            ++pos;
+        }
+        out_off_per_op[k + 1] = pos;
+    }
+}
+
+// Interval scatter into a coverage diff array: d[start[i]]++, d[end[i]]--
+// for the selected runs (ops/coverage.CoverageMap.add; np.add.at measured
+// ~1.7 s for 3M updates — the ufunc.at dispatch is per-element Python-C
+// transitions, this loop is ~30 ms).
+void coverage_add(int* diff, const long long* starts, const long long* ends,
+                  long long n) {
+    for (long long i = 0; i < n; ++i) {
+        ++diff[starts[i]];
+        --diff[ends[i]];
+    }
+}
+
+// Run-length encode a uint16 count array (write_bed's equal-count runs,
+// impl/paf_to_bed.c:33-55; binary mode splits on the >0 indicator).  Two
+// passes: rle_u16_count sizes the output, rle_u16_fill writes
+// starts/ends/vals.  Replaces a numpy chain that materialized an int64
+// key + boundary compare + nonzero over a 134M-base chromosome (~7 s);
+// both passes together read the u16 array twice at memory speed.
+long long rle_u16_count(const unsigned short* counts, long long n,
+                        long long binary) {
+    if (n == 0) return 0;
+    long long runs = 1;
+    unsigned short prev = binary ? (unsigned short)(counts[0] > 0)
+                                 : counts[0];
+    for (long long i = 1; i < n; ++i) {
+        const unsigned short k = binary ? (unsigned short)(counts[i] > 0)
+                                        : counts[i];
+        runs += (k != prev);
+        prev = k;
+    }
+    return runs;
+}
+
+void rle_u16_fill(const unsigned short* counts, long long n,
+                  long long binary, long long* starts, long long* ends,
+                  long long* vals) {
+    if (n == 0) return;
+    long long r = 0;
+    starts[0] = 0;
+    vals[0] = counts[0];
+    unsigned short prev = binary ? (unsigned short)(counts[0] > 0)
+                                 : counts[0];
+    for (long long i = 1; i < n; ++i) {
+        const unsigned short k = binary ? (unsigned short)(counts[i] > 0)
+                                        : counts[i];
+        if (k != prev) {
+            ends[r] = i;
+            ++r;
+            starts[r] = i;
+            vals[r] = counts[i];
+            prev = k;
+        }
+    }
+    ends[r] = n;
+}
+
 // Batch validation (core/pafio.paf_check <-> impl/paf.c:427-461): bounds
 // checks plus cigar query/target consumption vs end-start.  Returns the
 // first bad record index (writing its error code 0..5 to *code) or -1.

@@ -76,7 +76,9 @@ class CoverageMap:
             self._idx[name] = i
             self.names.append(name)
             self.lengths.append(int(length))
-            self._diffs.append(np.zeros(int(length) + 1, dtype=np.int64))
+            # int32 diffs: values are bounded by record counts per base and
+            # saturate at uint16 anyway; halves the materialization traffic
+            self._diffs.append(np.zeros(int(length) + 1, dtype=np.int32))
         else:
             if self.lengths[i] != int(length):
                 raise ValueError(
@@ -94,11 +96,13 @@ class CoverageMap:
         if len(rec) == 0:
             return
         sid = seq_of_rec[rec]
+        from paffy_tpu import native
         for i in np.unique(sid):
             m = sid == i
             d = self._diffs[int(i)]
-            np.add.at(d, start[m], 1)
-            np.add.at(d, end[m], -1)
+            if not native.coverage_add(d, start[m], end[m]):
+                np.add.at(d, start[m], 1)   # no-toolchain fallback
+                np.add.at(d, end[m], -1)
 
     def counts(self, name: str) -> np.ndarray:
         """Materialize the saturated uint16 count array for one sequence."""
@@ -118,6 +122,10 @@ def run_length_rows(counts: np.ndarray, binary: bool) -> tuple[np.ndarray, np.nd
     if len(counts) == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z.copy(), z.copy()
+    from paffy_tpu import native
+    res = native.rle_u16(counts, binary)  # two passes at memory speed
+    if res is not None:
+        return res
     key = (counts > 0).astype(np.int64) if binary else counts.astype(np.int64)
     change = np.nonzero(key[1:] != key[:-1])[0] + 1
     starts = np.concatenate([[0], change])

@@ -69,9 +69,31 @@ class SequencePool:
     to release the routes not taken.
     """
 
+    @classmethod
+    def from_fasta_files(cls, paths) -> "SequencePool":
+        """Build the pool straight from FASTA file bytes (no intermediate
+        per-sequence Python strings — fasta_pool_from_bytes); falls back to
+        the read_fasta string path for files needing whitespace handling."""
+        datas = []
+        for p in paths:
+            with open(p, "rb") as fh:
+                datas.append(fh.read())
+        from paffy_tpu.core.fasta import fasta_pool_from_bytes, load_sequences
+        res = fasta_pool_from_bytes(datas)
+        if res is None:
+            return cls(load_sequences(paths))
+        pool_np, index = res
+        self = cls.__new__(cls)
+        self._init_from_pool(pool_np, index)
+        return self
+
     def __init__(self, seqs: dict[str, str]):
+        pool_np, index = pack_sequences(seqs)
+        self._init_from_pool(pool_np, index)
+
+    def _init_from_pool(self, pool_np, index):
         from paffy_tpu.ops.segments import POOL_W, POOL_GUARD
-        pool_np, self.index = pack_sequences(seqs)
+        self.index = index
         n = POOL_GUARD + len(pool_np)
         padded = -(-(n + POOL_GUARD + 2 * POOL_W) // POOL_W) * POOL_W
         buf = np.zeros(padded, dtype=np.uint8)
@@ -85,6 +107,12 @@ class SequencePool:
         self._packed2 = None
         self._has_exotic = None
         self._has_exotic2 = None
+
+    def seq_bytes(self, name: str) -> np.ndarray:
+        """One sequence's bytes as a host uint8 view into the pool."""
+        off, ln = self.index[name]
+        g = self._guard
+        return self._pool_np[g + off: g + off + ln]
 
     @property
     def pool(self):
@@ -340,24 +368,23 @@ def encode_mismatches(t: PafTable, pool: SequencePool,
             pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
             b.tpos0[: b.n_mops], b.rev[: b.n_mops], n_threads=n_threads)
         if runs_per_mop is not None:
-            # Direct CSR rebuild: the C fill pass writes each M op's =/X
-            # runs straight into the new op arrays at its destination
-            # offset — no O(runs) searchsorted/add.at middle (that numpy
-            # rebuild measured ~3x the extraction itself at 27M runs).
-            contrib = np.ones(len(t.ops), dtype=np.int64)
-            contrib[b.flat_idx] = runs_per_mop
-            out_off_per_op = np.zeros(len(t.ops) + 1, dtype=np.int64)
-            np.cumsum(contrib, out=out_off_per_op[1:])
-            total_out = int(out_off_per_op[-1])
-            new_ops = np.empty(total_out, dtype=np.uint8)
-            new_lens = np.empty(total_out, dtype=np.int64)
-            non_m = t.ops != MATCH
-            new_ops[out_off_per_op[:-1][non_m]] = t.ops[non_m]
-            new_lens[out_off_per_op[:-1][non_m]] = t.lens[non_m]
+            # Direct CSR rebuild: one native walk computes every op's
+            # output offset and writes the non-M ops through
+            # (encode_rebuild_offsets), then the C fill pass writes each M
+            # op's =/X runs at its destination — no O(runs)
+            # searchsorted/add.at middle and no numpy contrib/cumsum/
+            # fancy-scatter chain (~6 full-array passes on a 24M-op
+            # output).  flat_idx is ascending (build_mop_batch walks the
+            # ops forward), so runs_per_mop is already in flat M-op order.
+            total_out = (int(runs_per_mop.sum())
+                         + (len(t.ops) - b.n_mops))
+            out_off_per_op, m_out_off, new_ops, new_lens = (
+                native.encode_rebuild_offsets(t.ops, t.lens, runs_per_mop,
+                                              total_out))
             native.encode_runs_fill_cigar(
                 pool.host_pool, b.lens[: b.n_mops], b.qpos0[: b.n_mops],
                 b.tpos0[: b.n_mops], b.rev[: b.n_mops],
-                out_off_per_op[:-1][b.flat_idx], new_ops, new_lens,
+                m_out_off, new_ops, new_lens,
                 n_threads=n_threads)
             return t.with_cigars(new_ops, new_lens, out_off_per_op[t.off])
 
