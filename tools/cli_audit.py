@@ -18,6 +18,7 @@ import argparse
 import json
 import os
 import pathlib
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -76,6 +77,40 @@ def main(argv=None) -> int:
         ("filter", []),
         ("add_mismatches", [str(fa)]),
     ]
+    ours_f = str(repo / "bin" / "faffy")
+    # faffy workloads: chunk the FASTA (dir compared), merge the reference's
+    # own chunk list, extract a deterministic BED
+    import random
+    rnd = random.Random(4)
+    bed = []
+    from tests.goldenwork import synth_golden_seqs as _sgs  # noqa: F811
+    for nm in ("q_chr10", "t_chr10"):
+        p = 0
+        while p < 8_000_000:
+            p += rnd.randint(500, 5000)
+            bed.append(f"{nm}\t{p}\t{p + rnd.randint(100, 1500)}")
+    bedf = tmp / "ex.bed"
+    bedf.write_text("\n".join(bed) + "\n")
+    chunk_args = ["-c", "1000000", "-o", "10000", str(fa)]
+
+    def run_chunk(binpath, who):
+        d = tmp / f"chunk_{who}"
+        shutil.rmtree(d, ignore_errors=True)
+        t0 = time.perf_counter()
+        out = subprocess.run([binpath, "chunk", "-d", str(d)] + chunk_args,
+                             capture_output=True, env=env, check=True)
+        dt = time.perf_counter() - t0
+        (tmp / f"{who}_faffy_chunk.out").write_bytes(
+            b"".join(sorted(p.read_bytes()
+                            for p in sorted(d.iterdir()))))
+        if who == "ref":
+            (tmp / "chunklist").write_bytes(out.stdout)
+        return dt
+
+    faffy_cases = [
+        ("faffy_merge", lambda b: ["merge", "-i", str(tmp / "chunklist")]),
+        ("faffy_extract", lambda b: ["extract", "-i", str(bedf), str(fa)]),
+    ]
     rows = []
     results: dict[tuple[str, str], list[float]] = {}
     for it in range(args.iters):
@@ -85,7 +120,17 @@ def main(argv=None) -> int:
                 cmd = [binpath, name, "-i", str(work)] + extra
                 results.setdefault((who, name), []).append(
                     run_once(cmd, out, env))
-    for name, _ in cases:
+        for who, binpath in (("ref", bins["faffy"]), ("our", ours_f)):
+            results.setdefault((who, "faffy_chunk"), []).append(
+                run_chunk(binpath, who))
+        for name, argfn in faffy_cases:
+            for who, binpath in (("ref", bins["faffy"]), ("our", ours_f)):
+                out = tmp / f"{who}_{name}.out"
+                results.setdefault((who, name), []).append(
+                    run_once([binpath] + argfn(binpath), out, env))
+    all_cases = ([n for n, _ in cases] + ["faffy_chunk"]
+                 + [n for n, _ in faffy_cases])
+    for name in all_cases:
         r = min(results[("ref", name)])
         o = min(results[("our", name)])
         same = ((tmp / f"ref_{name}.out").read_bytes()
