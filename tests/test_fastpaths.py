@@ -155,6 +155,50 @@ def test_fasta_pool_multifile_order_and_offsets():
     assert bytes(pool) == b"AAACCGG"
 
 
+# ------------------------------------------------- no-toolchain equivalence
+
+@needs_native
+def test_fallback_paths_match_native(golden_bytes, monkeypatch):
+    """Every new fast path's pure-Python/numpy fallback produces identical
+    results with the native library disabled."""
+    from paffy_tpu.ops import tailtrim, transforms
+
+    t = pafio.parse_paf_data(golden_bytes)
+    raw = pafio.parse_paf_data(golden_bytes, parse_cigars=False)
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(t)).astype(np.int64)
+    idx = np.array([9, 2, 2, 41], dtype=np.int64)
+    counts = rng.integers(0, 3, size=4_001).astype(np.uint16)
+
+    nat = {
+        "plain": bytes(pafio.serialize_paf_bytes(t)),
+        "order": bytes(pafio.serialize_paf_bytes(t, order=perm)),
+        "raw": bytes(pafio.serialize_paf_bytes(raw)),
+        "take": bytes(pafio.serialize_paf_bytes(t.take(idx))),
+        "invert": bytes(pafio.serialize_paf_bytes(transforms.invert(t))),
+        "shatter": bytes(pafio.serialize_paf_bytes(transforms.shatter(t))),
+        "trim": bytes(pafio.serialize_paf_bytes(
+            tailtrim.trim_unreliable_tails(t, 0.05, 1.0))),
+        "rle": coverage.run_length_rows(counts, False),
+    }
+
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    assert bytes(pafio.serialize_paf_bytes(t)) == nat["plain"]
+    assert bytes(pafio.serialize_paf_bytes(t, order=perm)) == nat["order"]
+    assert bytes(pafio.serialize_paf_bytes(raw)) == nat["raw"]
+    assert bytes(pafio.serialize_paf_bytes(t.take(idx))) == nat["take"]
+    assert bytes(pafio.serialize_paf_bytes(
+        transforms.invert(t))) == nat["invert"]
+    assert bytes(pafio.serialize_paf_bytes(
+        transforms.shatter(t))) == nat["shatter"]
+    assert bytes(pafio.serialize_paf_bytes(
+        tailtrim.trim_unreliable_tails(t, 0.05, 1.0))) == nat["trim"]
+    s, e, v = coverage.run_length_rows(counts, False)
+    np.testing.assert_array_equal(s, nat["rle"][0])
+    np.testing.assert_array_equal(e, nat["rle"][1])
+    np.testing.assert_array_equal(v, nat["rle"][2])
+
+
 # -------------------------------------------------------- encode CSR rebuild
 
 @needs_native
