@@ -60,10 +60,6 @@ def get_lib():
         lib.paf_fill.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                  _I64P, _U8P, _U8P, _I64P, _I64P,
                                  ctypes.c_char_p, _U8P, _I64P, _I64P]
-        lib.paf_serialize.restype = ctypes.c_longlong
-        lib.paf_serialize.argtypes = [ctypes.c_longlong, _I64P, _U8P, _U8P,
-                                      _I64P, _I64P, ctypes.c_char_p,
-                                      _U8P, _I64P, _I64P, ctypes.c_char_p]
         lib.paf_serialize_sizes.restype = None
         lib.paf_serialize_sizes.argtypes = [ctypes.c_longlong, _I64P, _U8P,
                                             _U8P, _I64P, _I64P,
@@ -78,6 +74,16 @@ def get_lib():
                                            ctypes.c_char_p, _I64P, _I64P,
                                            _I64P, ctypes.c_char_p,
                                            ctypes.c_longlong]
+        lib.paf_scan_mt.restype = ctypes.c_longlong
+        lib.paf_scan_mt.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                    ctypes.c_longlong, _I64P, _I64P, _I64P,
+                                    _I64P, _I64P]
+        lib.paf_fill_mt.restype = ctypes.c_longlong
+        lib.paf_fill_mt.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                    ctypes.c_longlong, _I64P, _I64P, _I64P,
+                                    _I64P, _I64P, _I64P, _U8P, _U8P, _I64P,
+                                    _I64P, ctypes.c_char_p, _U8P, _I64P,
+                                    _I64P]
         lib.paf_scan_raw.restype = ctypes.c_longlong
         lib.paf_scan_raw.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                      _I64P, _I64P]
@@ -85,10 +91,6 @@ def get_lib():
         lib.paf_fill_raw.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                      _I64P, _U8P, _U8P, _I64P, _I64P,
                                      ctypes.c_char_p, _I64P, _I64P]
-        lib.paf_serialize_bound.restype = ctypes.c_longlong
-        lib.paf_serialize_bound.argtypes = [ctypes.c_longlong,
-                                            ctypes.c_longlong,
-                                            ctypes.c_longlong]
         lib.encode_runs_per_mop.restype = None
         lib.encode_runs_per_mop.argtypes = [_U8P, ctypes.c_longlong, _I64P,
                                             _I64P, _I64P, _U8P, _I64P,
@@ -222,8 +224,13 @@ class NativeParseError(ValueError):
     pass
 
 
-def parse_paf_bytes(data: bytes):
-    """Parse PAF text via the native tokenizer.
+_PARSE_MT_BYTES = 4 << 20   # thread the parse above 4 MB of input
+
+
+def parse_paf_bytes(data: bytes, n_threads: int | None = None):
+    """Parse PAF text via the native tokenizer (threaded above
+    _PARSE_MT_BYTES: newline-aligned shards, per-shard counts cumsummed
+    into pass-2 base offsets — identical arrays and error line numbers).
 
     Returns the raw SoA arrays:
     (ints[n,13], flags[n], type[n], qname list, tname list, ops, lens, off)
@@ -232,14 +239,30 @@ def parse_paf_bytes(data: bytes):
     lib = get_lib()
     if lib is None:
         return None
-    n_rec = ctypes.c_longlong()
-    n_ops = ctypes.c_longlong()
-    name_bytes = ctypes.c_longlong()
-    rc = lib.paf_scan(data, len(data), ctypes.byref(n_rec),
-                      ctypes.byref(n_ops), ctypes.byref(name_bytes))
-    if rc != 0:
-        raise NativeParseError(f"malformed PAF at line {rc}")
-    n, t_ops, nb = n_rec.value, n_ops.value, name_bytes.value
+    nt = _default_threads(n_threads)
+    if len(data) < _PARSE_MT_BYTES:
+        nt = 1
+    if nt > 1:
+        bounds = np.empty(nt + 1, dtype=np.int64)
+        s_rec = np.empty(nt, dtype=np.int64)
+        s_ops = np.empty(nt, dtype=np.int64)
+        s_names = np.empty(nt, dtype=np.int64)
+        s_lines = np.empty(nt, dtype=np.int64)
+        rc = lib.paf_scan_mt(data, len(data), nt, _p_i64(bounds),
+                             _p_i64(s_rec), _p_i64(s_ops), _p_i64(s_names),
+                             _p_i64(s_lines))
+        if rc != 0:
+            raise NativeParseError(f"malformed PAF at line {rc}")
+        n, t_ops, nb = int(s_rec.sum()), int(s_ops.sum()), int(s_names.sum())
+    else:
+        n_rec = ctypes.c_longlong()
+        n_ops = ctypes.c_longlong()
+        name_bytes = ctypes.c_longlong()
+        rc = lib.paf_scan(data, len(data), ctypes.byref(n_rec),
+                          ctypes.byref(n_ops), ctypes.byref(name_bytes))
+        if rc != 0:
+            raise NativeParseError(f"malformed PAF at line {rc}")
+        n, t_ops, nb = n_rec.value, n_ops.value, name_bytes.value
     ints = np.empty((n, 13), dtype=np.int64)
     flags = np.empty(n, dtype=np.uint8)
     rtype = np.empty(n, dtype=np.uint8)
@@ -249,10 +272,23 @@ def parse_paf_bytes(data: bytes):
     ops = np.empty(t_ops, dtype=np.uint8)
     lens = np.empty(t_ops, dtype=np.int64)
     off = np.empty(n + 1, dtype=np.int64)
-    rc = lib.paf_fill(data, len(data), _p_i64(ints), _p_u8(flags),
-                      _p_u8(rtype), _p_i64(qoff), _p_i64(toff),
-                      pool.ctypes.data_as(ctypes.c_char_p),
-                      _p_u8(ops), _p_i64(lens), _p_i64(off))
+    if nt > 1:
+        def base(c):
+            b = np.zeros(nt, dtype=np.int64)
+            np.cumsum(c[:-1], out=b[1:])
+            return b
+        rc = lib.paf_fill_mt(data, len(data), nt, _p_i64(bounds),
+                             _p_i64(base(s_rec)), _p_i64(base(s_ops)),
+                             _p_i64(base(s_names)), _p_i64(s_lines),
+                             _p_i64(ints), _p_u8(flags), _p_u8(rtype),
+                             _p_i64(qoff), _p_i64(toff),
+                             pool.ctypes.data_as(ctypes.c_char_p),
+                             _p_u8(ops), _p_i64(lens), _p_i64(off))
+    else:
+        rc = lib.paf_fill(data, len(data), _p_i64(ints), _p_u8(flags),
+                          _p_u8(rtype), _p_i64(qoff), _p_i64(toff),
+                          pool.ctypes.data_as(ctypes.c_char_p),
+                          _p_u8(ops), _p_i64(lens), _p_i64(off))
     if rc != 0:
         raise NativeParseError(f"malformed PAF at line {rc}")
     raw = pool.tobytes()

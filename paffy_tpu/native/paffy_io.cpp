@@ -13,6 +13,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC paffy_io.cpp -o libpaffy_io.so
 
 #include <algorithm>
+#include <atomic>
 #include <climits>
 #include <cmath>
 #include <cstdint>
@@ -24,15 +25,15 @@
 extern "C" {
 
 // ---------------------------------------------------------------- pass 1
-// Count lines, cigar ops and name bytes. Returns 0 on success, else the
-// (1-based) line number of the first malformed line.
-long long paf_scan(const char* buf, long long len,
-                   long long* n_records, long long* n_ops,
-                   long long* name_bytes) {
+// Count lines, cigar ops and name bytes over [p, end). Returns 0 on
+// success, else the (1-based, range-local) line number of the first
+// malformed line.  n_lines counts every line in the range (for global
+// line numbering by the threaded entry).
+static long long scan_range(const char* p, const char* end,
+                            long long* n_records, long long* n_ops,
+                            long long* name_bytes, long long* n_lines) {
     long long recs = 0, ops = 0, names = 0;
     long long line_no = 0;
-    const char* p = buf;
-    const char* end = buf + len;
     while (p < end) {
         const char* eol = (const char*)memchr(p, '\n', end - p);
         const char* le = eol ? eol : end;
@@ -79,6 +80,57 @@ long long paf_scan(const char* buf, long long len,
     *n_records = recs;
     *n_ops = ops;
     *name_bytes = names;
+    *n_lines = line_no;
+    return 0;
+}
+
+long long paf_scan(const char* buf, long long len,
+                   long long* n_records, long long* n_ops,
+                   long long* name_bytes) {
+    long long lines;
+    return scan_range(buf, buf + len, n_records, n_ops, name_bytes, &lines);
+}
+
+// Newline-aligned shard boundaries for the threaded passes.
+static void shard_bounds(const char* buf, long long len, long long T,
+                         long long* b) {
+    b[0] = 0;
+    b[T] = len;
+    for (long long s = 1; s < T; ++s) {
+        long long pos = len * s / T;
+        if (pos < b[s - 1]) pos = b[s - 1];
+        const char* nl = (const char*)memchr(buf + pos, '\n', len - pos);
+        b[s] = nl ? (nl - buf) + 1 : len;
+        if (b[s] < b[s - 1]) b[s] = b[s - 1];
+    }
+}
+
+// Threaded pass 1: per-shard record/op/name-byte/line counts at newline-
+// aligned boundaries (caller cumsums them into pass-2 bases).  Returns 0
+// or the GLOBAL 1-based line number of the first malformed line.
+long long paf_scan_mt(const char* buf, long long len, long long n_threads,
+                      long long* bounds,       // [T+1], filled here
+                      long long* recs, long long* ops, long long* names,
+                      long long* lines) {      // [T] each
+    const long long T = n_threads;
+    shard_bounds(buf, len, T, bounds);
+    std::vector<long long> bad(T, 0);
+    auto work = [&](long long s) {
+        bad[s] = scan_range(buf + bounds[s], buf + bounds[s + 1],
+                            recs + s, ops + s, names + s, lines + s);
+    };
+    if (T == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> th;
+        for (long long s = 0; s < T; ++s) th.emplace_back(work, s);
+        for (auto& t : th) t.join();
+    }
+    long long line_base = 0;
+    for (long long s = 0; s < T; ++s) {
+        if (bad[s]) return line_base + bad[s];
+        line_base += lines[s];
+    }
     return 0;
 }
 
@@ -131,21 +183,18 @@ static inline long long parse_i64(const char* s, const char* e) {
 //   qlen qstart qend tlen tstart tend nmatch nbases mapq score tile chain cs
 // flags: bit0 strand('+'), bit1 has_cigar; type: uint8.
 // qname_off/tname_off index into the name_pool (NUL-terminated strings).
-// Returns 0 on success or the 1-based line number of the first bad line.
-long long paf_fill(const char* buf, long long len,
-                   long long* ints,          // [n_records * 13]
-                   unsigned char* flags,     // [n_records]
-                   unsigned char* type,      // [n_records]
-                   long long* qname_off, long long* tname_off,
-                   char* name_pool,
-                   unsigned char* ops, long long* op_lens,
-                   long long* cig_off       // [n_records + 1]
-) {
-    long long rec = 0, op = 0, npos = 0;
+// Returns 0 on success or the (range-local) 1-based line number of the
+// first bad line.  rec/op/npos are this range's global base offsets (0 for
+// the single-thread entry); cig_off[0] is the caller's responsibility.
+static long long fill_range(const char* p, const char* end,
+                            long long rec, long long op, long long npos,
+                            long long* ints, unsigned char* flags,
+                            unsigned char* type,
+                            long long* qname_off, long long* tname_off,
+                            char* name_pool,
+                            unsigned char* ops, long long* op_lens,
+                            long long* cig_off) {
     long long line_no = 0;
-    const char* p = buf;
-    const char* end = buf + len;
-    cig_off[0] = 0;
     while (p < end) {
         const char* eol = (const char*)memchr(p, '\n', end - p);
         const char* le = eol ? eol : end;
@@ -246,6 +295,58 @@ long long paf_fill(const char* buf, long long len,
         cig_off[rec + 1] = op;
         ++rec;
         p = le + 1;
+    }
+    return 0;
+}
+
+long long paf_fill(const char* buf, long long len,
+                   long long* ints, unsigned char* flags,
+                   unsigned char* type,
+                   long long* qname_off, long long* tname_off,
+                   char* name_pool,
+                   unsigned char* ops, long long* op_lens,
+                   long long* cig_off) {
+    cig_off[0] = 0;
+    return fill_range(buf, buf + len, 0, 0, 0, ints, flags, type,
+                      qname_off, tname_off, name_pool, ops, op_lens,
+                      cig_off);
+}
+
+// Threaded pass 2 over paf_scan_mt's shard bounds; rec/op/name bases are
+// the exclusive prefix sums of the per-shard scan counts.  Returns 0 or
+// the GLOBAL 1-based line number of the first bad line.
+long long paf_fill_mt(const char* buf, long long len, long long n_threads,
+                      const long long* bounds,                 // [T+1]
+                      const long long* rec_base,               // [T]
+                      const long long* op_base,                // [T]
+                      const long long* name_base,              // [T]
+                      const long long* lines,                  // [T]
+                      long long* ints, unsigned char* flags,
+                      unsigned char* type,
+                      long long* qname_off, long long* tname_off,
+                      char* name_pool,
+                      unsigned char* ops, long long* op_lens,
+                      long long* cig_off) {
+    const long long T = n_threads;
+    cig_off[0] = 0;
+    std::vector<long long> bad(T, 0);
+    auto work = [&](long long s) {
+        bad[s] = fill_range(buf + bounds[s], buf + bounds[s + 1],
+                            rec_base[s], op_base[s], name_base[s],
+                            ints, flags, type, qname_off, tname_off,
+                            name_pool, ops, op_lens, cig_off);
+    };
+    if (T == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> th;
+        for (long long s = 0; s < T; ++s) th.emplace_back(work, s);
+        for (auto& t : th) t.join();
+    }
+    long long line_base = 0;
+    for (long long s = 0; s < T; ++s) {
+        if (bad[s]) return line_base + bad[s];
+        line_base += lines[s];
     }
     return 0;
 }
@@ -359,78 +460,11 @@ static inline char* write_i64(char* b, long long v) {
     return b;
 }
 
-// Serialize records into out; returns total bytes written.
-// Caller guarantees capacity (use paf_serialize_bound).
-long long paf_serialize(long long n_records,
-                        const long long* ints, const unsigned char* flags,
-                        const unsigned char* type,
-                        const long long* qname_off, const long long* tname_off,
-                        const char* name_pool,
-                        const unsigned char* ops, const long long* op_lens,
-                        const long long* cig_off,
-                        char* out) {
-    static const char opch[5] = {'M', 'I', 'D', '=', 'X'};
-    char* b = out;
-    for (long long i = 0; i < n_records; ++i) {
-        const long long* R = ints + i * 13;
-        const char* qn = name_pool + qname_off[i];
-        size_t ql = strlen(qn);
-        memcpy(b, qn, ql); b += ql;
-        *b++ = '\t';
-        b = write_i64(b, R[0]); *b++ = '\t';
-        b = write_i64(b, R[1]); *b++ = '\t';
-        b = write_i64(b, R[2]); *b++ = '\t';
-        *b++ = (flags[i] & 1) ? '+' : '-'; *b++ = '\t';
-        const char* tn = name_pool + tname_off[i];
-        size_t tl = strlen(tn);
-        memcpy(b, tn, tl); b += tl;
-        *b++ = '\t';
-        b = write_i64(b, R[3]); *b++ = '\t';
-        b = write_i64(b, R[4]); *b++ = '\t';
-        b = write_i64(b, R[5]); *b++ = '\t';
-        b = write_i64(b, R[6]); *b++ = '\t';
-        b = write_i64(b, R[7]); *b++ = '\t';
-        b = write_i64(b, R[8]);
-        // tag emission rules (impl/paf.c:343-389)
-        if (type[i] != 0 || R[10] != -1) {
-            char c = type[i] ? (char)type[i] : (R[10] > 1 ? 'S' : 'P');
-            memcpy(b, "\ttp:A:", 6); b += 6;
-            *b++ = c;
-        }
-        if (R[9] != 2147483647LL) {
-            memcpy(b, "\tAS:i:", 6); b += 6;
-            b = write_i64(b, R[9]);
-        }
-        if (R[10] != -1) {
-            memcpy(b, "\ttl:i:", 6); b += 6;
-            b = write_i64(b, R[10]);
-        }
-        if (R[11] != -1) {
-            memcpy(b, "\tcn:i:", 6); b += 6;
-            b = write_i64(b, R[11]);
-        }
-        if (R[12] != -1) {
-            memcpy(b, "\ts1:i:", 6); b += 6;
-            b = write_i64(b, R[12]);
-        }
-        if (flags[i] & 2) {
-            memcpy(b, "\tcg:Z:", 6); b += 6;
-            for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k) {
-                b = write_i64(b, op_lens[k]);
-                *b++ = opch[ops[k]];
-            }
-        }
-        *b++ = '\n';
-    }
-    return b - out;
-}
-
 // ---- threaded exact-size serializer ------------------------------------
 // Two phases: paf_serialize_sizes measures every record's exact byte
 // length (threaded), the caller prefix-sums them, and paf_serialize_fill
-// writes each record at its exact offset (threaded, no compaction pass and
-// no oversized bound allocation — the single-call paf_serialize above
-// stays as the simple form).
+// writes each record at its exact offset (threaded, no compaction pass
+// and no oversized bound allocation).
 
 static inline long long i64_digits(long long v) {
     if (v == 0) return 1;
@@ -520,7 +554,7 @@ long long paf_serialize_fill(long long n_records,
                              const long long* out_off,  // n+1, cumsum(sizes)
                              char* out, long long n_threads) {
     static const char opch[5] = {'M', 'I', 'D', '=', 'X'};
-    volatile long long bad = 0;
+    std::atomic<long long> bad{0};
     auto work = [&](long long r0, long long r1) {
         for (long long r = r0; r < r1; ++r) {
             const long long i = order ? order[r] : r;
@@ -584,20 +618,14 @@ long long paf_serialize_fill(long long n_records,
     };
     if (n_threads <= 1 || n_records < 4096) {
         work(0, n_records);
-        return bad;
+        return bad.load();
     }
     std::vector<std::thread> th;
     for (long long s = 0; s < n_threads; ++s)
         th.emplace_back(work, n_records * s / n_threads,
                         n_records * (s + 1) / n_threads);
     for (auto& t : th) t.join();
-    return bad;
-}
-
-// Upper bound on serialized size.
-long long paf_serialize_bound(long long n_records, long long n_ops,
-                              long long name_pool_bytes) {
-    return n_records * 320 + n_ops * 22 + name_pool_bytes * 2;
+    return bad.load();
 }
 
 // C printf %f of a float32 value promoted to double; NaN prints "nan"

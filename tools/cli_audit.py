@@ -100,9 +100,9 @@ def main(argv=None) -> int:
         out = subprocess.run([binpath, "chunk", "-d", str(d)] + chunk_args,
                              capture_output=True, env=env, check=True)
         dt = time.perf_counter() - t0
+        # filename-ordered concatenation: chunk dirs compare as one blob
         (tmp / f"{who}_faffy_chunk.out").write_bytes(
-            b"".join(sorted(p.read_bytes()
-                            for p in sorted(d.iterdir()))))
+            b"".join(p.read_bytes() for p in sorted(d.iterdir())))
         if who == "ref":
             (tmp / "chunklist").write_bytes(out.stdout)
         return dt
