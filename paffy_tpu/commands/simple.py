@@ -88,12 +88,19 @@ class DedupeState:
         n = len(t)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        qid = np.empty(n, dtype=np.int64)
-        tid = np.empty(n, dtype=np.int64)
+        # name -> id via one vectorized unique pass; only DISTINCT names
+        # touch the Python dict (ids must stay stable across batches, so the
+        # dict remains the global assigner).  The per-record setdefault loop
+        # was the bottleneck of large-input dedupe (8.4x the reference at
+        # 16x golden; invisible under startup at 3.3k records).
         name_id = self.name_id
-        for i in range(n):
-            qid[i] = name_id.setdefault(t.qname[i], len(name_id))
-            tid[i] = name_id.setdefault(t.tname[i], len(name_id))
+        both = np.concatenate([t.qname, t.tname])
+        uniq_names, inv = np.unique(both, return_inverse=True)
+        gids = np.fromiter((name_id.setdefault(nm, len(name_id))
+                            for nm in uniq_names),
+                           dtype=np.int64, count=len(uniq_names))
+        ids = gids[inv]
+        qid, tid = ids[:n], ids[n:]
 
         def as_void(cols):
             keys = np.ascontiguousarray(np.stack(cols, axis=1))
@@ -206,22 +213,46 @@ def add_mismatches_main(argv) -> int:
                         "replacing with M")
     args = p.parse_args(argv)
     timer = start(args, "Paffy add_mismatches")
-    pool = None
-    if not args.removeMismatches:
-        pool = SequencePool.from_fasta_files(args.fasta_files)
-        log_info("Read %d sequences from sequence files", len(pool.index))
-
-    def step(t):
-        if args.removeMismatches:
+    if args.removeMismatches:
+        def step(t):
             t = tr.remove_mismatches(t)
-        else:
-            t = encode_mismatches(t, pool)
-        pafio.paf_check(t)
-        return t
-    try:
+            pafio.paf_check(t)
+            return t
         stream_transform(args, step)
+        timer.done()
+        return 0
+
+    pool = SequencePool.from_fasta_files(args.fasta_files)
+    log_info("Read %d sequences from sequence files", len(pool.index))
+
+    from paffy_tpu.commands.common import (open_output_binary,
+                                           close_output_binary,
+                                           stream_tables)
+    from paffy_tpu import native
+    out = open_output_binary(args)
+    try:
+        for t in stream_tables(args):
+            if not len(t):
+                continue
+            qpo = pool.offsets_for(t.qname, "query")
+            tpo = pool.offsets_for(t.tname, "target")
+            # check BEFORE encode: each M run's =/X runs sum to its length,
+            # so cigar spans (and every other checked field) are preserved
+            # exactly and the accept/reject decision matches the
+            # reference's check-after-encode (impl/paf_add_mismatches.c:133)
+            pafio.paf_check(t)
+            # fused native encode+serialize: M->=/X runs emitted straight
+            # as output line text, no intermediate =/X CSR arrays
+            blob = native.encode_serialize(t, pool.host_pool, qpo, tpo)
+            if blob is None:   # no toolchain: generic batch transform
+                t2 = encode_mismatches(t, pool)
+                out.write(pafio.serialize_paf_bytes(t2))
+            else:
+                out.write(blob.data)
     except KeyError as e:
         print(str(e.args[0]), file=sys.stderr)
         return 1
+    finally:
+        close_output_binary(out)
     timer.done()
     return 0

@@ -27,10 +27,12 @@ from paffy_tpu.utils.logging import log_info
 
 
 def _f(x: float) -> str:
-    """C printf %f of a float value (6 decimals; NaN prints as nan)."""
+    """C printf %f of a float value (6 decimals).  NaN keeps its sign bit:
+    0.0f/0.0f yields -nan on x86 and glibc printf prints the sign, so the
+    reference emits "-nan" for empty-match identities."""
     v = float(x)
     if v != v:
-        return "nan" if not str(x).startswith("-") else "-nan"
+        return "-nan" if np.signbit(x) else "nan"
     return f"{v:.6f}"
 
 
@@ -158,10 +160,19 @@ def main(argv) -> int:
                         pretty_print_record(t, i, stats, out,
                                             args.includeAlignment, pool)
                 elif args.includeAlignment:
-                    lines = blob.decode("latin-1").splitlines(keepends=True)
-                    for i in range(len(t)):
-                        out.write(lines[i])
-                        _render_alignment(t, i, out, pool)
+                    # one native pass renders every record's 3-row/150-col
+                    # alignment windows interleaved with its stat line (the
+                    # per-record splitlines+numpy loop paid several full
+                    # passes per record)
+                    rendered = native.view_render_batch(t, pool, blob)
+                    if rendered is None:   # no toolchain: python fallback
+                        lines = blob.decode("latin-1").splitlines(
+                            keepends=True)
+                        for i in range(len(t)):
+                            out.write(lines[i])
+                            _render_alignment(t, i, out, pool)
+                    else:
+                        out.write(rendered.tobytes().decode("latin-1"))
                 else:
                     out.write(blob.decode("latin-1"))
             totals += np.array([stats["matches"].sum(),

@@ -123,6 +123,13 @@ def get_lib():
         lib.view_stats_lines.argtypes = [ctypes.c_longlong, _I64P, _I64P,
                                          ctypes.c_char_p, _I64P,
                                          ctypes.c_char_p]
+        lib.view_render_batch.restype = None
+        lib.view_render_batch.argtypes = [ctypes.c_longlong, _I64P, _U8P,
+                                          _I64P, _I64P, _I64P, _I64P, _U8P,
+                                          _U8P, _I64P, _I64P, _I64P, _I64P,
+                                          ctypes.c_char_p, _I64P, _I64P,
+                                          ctypes.c_char_p,
+                                          ctypes.c_longlong]
         lib.synth_query_pool.restype = None
         lib.synth_query_pool.argtypes = [_U8P, ctypes.c_longlong, _I64P,
                                          _I64P, _I64P, _U8P,
@@ -208,6 +215,15 @@ def get_lib():
                                            _I64P, _I64P, _I64P, _U8P,
                                            _I64P, _U8P, ctypes.c_longlong,
                                            _I64P]
+        _enc_common = [ctypes.c_longlong, _I64P, _U8P, _U8P, _I64P, _I64P,
+                       ctypes.c_char_p, _U8P, _I64P, _I64P, _U8P, _I64P,
+                       _I64P]
+        lib.encode_serialize_sizes.restype = None
+        lib.encode_serialize_sizes.argtypes = _enc_common + [
+            _I64P, ctypes.c_longlong]
+        lib.encode_serialize_fill.restype = ctypes.c_longlong
+        lib.encode_serialize_fill.argtypes = _enc_common + [
+            _I64P, ctypes.c_char_p, ctypes.c_longlong]
         _lib = lib
         return _lib
 
@@ -457,6 +473,58 @@ def view_stats_lines(qnames, tnames, vals: np.ndarray) -> bytes | None:
                                    _p_i64(vals),
                                    out.ctypes.data_as(ctypes.c_char_p))
     return out[: int(written)].tobytes()
+
+
+def view_render_batch(t, pool, stat_blob: bytes | None):
+    """Batched `view -a` output: each record's stat line (sliced from
+    ``stat_blob``, the view_stats_lines output) interleaved with its 3-row
+    alignment rendering in 150-column windows (paf_pretty_print2,
+    impl/paf.c:282-314).  Returns the full bytes, or None without a
+    toolchain.  ``stat_blob=None`` emits renders only."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(t)
+    qpo = np.empty(n, dtype=np.int64)
+    tpo = np.empty(n, dtype=np.int64)
+    qsl = np.empty(n, dtype=np.int64)
+    tsl = np.empty(n, dtype=np.int64)
+    g = pool._guard
+    idx = pool.index
+    for i in range(n):
+        o, l = idx[t.qname[i]]
+        qpo[i] = o + g
+        qsl[i] = l
+        o, l = idx[t.tname[i]]
+        tpo[i] = o + g
+        tsl[i] = l
+    if stat_blob is not None:
+        nl = np.flatnonzero(np.frombuffer(stat_blob, dtype=np.uint8)
+                            == ord("\n"))
+        stat_off = np.concatenate([[0], nl + 1]).astype(np.int64)
+        stat_len = np.diff(stat_off)
+    else:
+        stat_off = np.zeros(n + 1, dtype=np.int64)
+        stat_len = np.zeros(n, dtype=np.int64)
+    off = np.ascontiguousarray(t.off, dtype=np.int64)
+    lens = np.ascontiguousarray(t.lens, dtype=np.int64)
+    ops = np.ascontiguousarray(t.ops, dtype=np.uint8)
+    cs = np.concatenate([[0], np.cumsum(lens)])
+    ncols = cs[off[1:]] - cs[off[:-1]]
+    sizes = stat_len + 3 * ncols + 3 * ((ncols + 149) // 150)
+    out_off = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    lib.view_render_batch(
+        n, _p_i64(off), _p_u8(ops), _p_i64(lens),
+        _p_i64(np.ascontiguousarray(t.qstart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.qend, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.tstart, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(t.strand, dtype=np.uint8)),
+        _p_u8(pool.host_pool), _p_i64(qpo), _p_i64(tpo), _p_i64(qsl),
+        _p_i64(tsl), stat_blob, _p_i64(np.ascontiguousarray(stat_off)),
+        _p_i64(out_off), out.ctypes.data_as(ctypes.c_char_p),
+        _default_threads(None))
+    return out
 
 
 def column_compare_counts(pool: np.ndarray, lens, qpos0, tpos0, rev, rec,
@@ -869,6 +937,55 @@ def column_encode_runs(pool: np.ndarray, lens, qpos0, tpos0, rev,
 
 def _default_threads(n_threads):
     return min(os.cpu_count() or 1, 8) if n_threads is None else n_threads
+
+
+def encode_serialize(t, pool: np.ndarray, qpool_off, tpool_off,
+                     n_threads: int | None = None):
+    """Fused add_mismatches egress: encode each record's M runs to =/X runs
+    (paf_encode_mismatches, impl/paf.c:739-784) and serialize the output PAF
+    line (tag rules impl/paf.c:317-389) in one threaded native pass pair —
+    no intermediate =/X CSR arrays, no separate serializer passes.
+
+    ``qpool_off``/``tpool_off`` are per-record guarded pool offsets of the
+    record's query/target sequence start (SequencePool.offsets_for).
+    Returns a uint8 ndarray of the serialized bytes, or None without a
+    toolchain.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    from paffy_tpu.core.pafio import _table_to_arrays
+    ints, flags = _table_to_arrays(t)
+    name_pool, qoff, toff = _name_pool(t.qname, t.tname)
+    n = len(flags)
+    ints = np.ascontiguousarray(ints, dtype=np.int64)
+    rtype = np.ascontiguousarray(t.type)
+    ops = np.ascontiguousarray(t.ops, dtype=np.uint8)
+    lens = np.ascontiguousarray(t.lens, dtype=np.int64)
+    off = np.ascontiguousarray(t.off, dtype=np.int64)
+    pool = np.ascontiguousarray(pool)
+    qpool_off = np.ascontiguousarray(qpool_off, dtype=np.int64)
+    tpool_off = np.ascontiguousarray(tpool_off, dtype=np.int64)
+    nt = _default_threads(n_threads)
+    out_off = np.empty(n + 1, dtype=np.int64)
+    out_off[0] = 0
+    lib.encode_serialize_sizes(n, _p_i64(ints), _p_u8(flags), _p_u8(rtype),
+                               _p_i64(qoff), _p_i64(toff), name_pool,
+                               _p_u8(ops), _p_i64(lens), _p_i64(off),
+                               _p_u8(pool), _p_i64(qpool_off),
+                               _p_i64(tpool_off), _p_i64(out_off[1:]), nt)
+    np.cumsum(out_off[1:], out=out_off[1:])
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    rc = lib.encode_serialize_fill(n, _p_i64(ints), _p_u8(flags),
+                                   _p_u8(rtype), _p_i64(qoff), _p_i64(toff),
+                                   name_pool, _p_u8(ops), _p_i64(lens),
+                                   _p_i64(off), _p_u8(pool),
+                                   _p_i64(qpool_off), _p_i64(tpool_off),
+                                   _p_i64(out_off),
+                                   out.ctypes.data_as(ctypes.c_char_p), nt)
+    if rc != 0:  # measured/written drift — never expected; fail loudly
+        raise RuntimeError("encode_serialize_fill length mismatch")
+    return out
 
 
 def encode_runs_per_mop(pool: np.ndarray, lens, qpos0, tpos0, rev,

@@ -448,16 +448,36 @@ long long paf_fill_raw(const char* buf, long long len,
 
 // ---------------------------------------------------------- serialization
 
+// Two-digit pair table: one divide per two digits (the serializer and the
+// fused mismatch encoder write tens of millions of small integers; the
+// per-digit %10 loop measured as a main cost of the encode fill pass).
+static const char DIGIT2[201] =
+    "00010203040506070809101112131415161718192021222324"
+    "25262728293031323334353637383940414243444546474849"
+    "50515253545556575859606162636465666768697071727374"
+    "75767778798081828384858687888990919293949596979899";
+
 static inline char* write_i64(char* b, long long v) {
-    if (v == 0) { *b++ = '0'; return b; }
+    unsigned long long u;
+    if (v < 0) { *b++ = '-'; u = (unsigned long long)(-v); }
+    else u = (unsigned long long)v;
     char tmp[24];
-    int n = 0;
-    bool neg = v < 0;
-    unsigned long long u = neg ? (unsigned long long)(-v) : (unsigned long long)v;
-    while (u) { tmp[n++] = '0' + (char)(u % 10); u /= 10; }
-    if (neg) *b++ = '-';
-    while (n) *b++ = tmp[--n];
-    return b;
+    char* p = tmp + 24;
+    while (u >= 100) {
+        const unsigned r = (unsigned)(u % 100);
+        u /= 100;
+        p -= 2;
+        memcpy(p, DIGIT2 + 2 * r, 2);
+    }
+    if (u < 10) {
+        *--p = (char)('0' + u);
+    } else {
+        p -= 2;
+        memcpy(p, DIGIT2 + 2 * u, 2);
+    }
+    const size_t n = (size_t)(tmp + 24 - p);
+    memcpy(b, p, n);
+    return b + n;
 }
 
 // ---- threaded exact-size serializer ------------------------------------
@@ -467,12 +487,32 @@ static inline char* write_i64(char* b, long long v) {
 // and no oversized bound allocation).
 
 static inline long long i64_digits(long long v) {
-    if (v == 0) return 1;
-    long long d = v < 0 ? 1 : 0;
-    unsigned long long u = v < 0 ? (unsigned long long)(-v)
-                                 : (unsigned long long)v;
-    while (u) { ++d; u /= 10; }
-    return d;
+    long long d = 0;
+    unsigned long long u;
+    if (v < 0) { d = 1; u = (unsigned long long)(-v); }
+    else u = (unsigned long long)v;
+    while (u >= 10000ULL) { u /= 10000ULL; d += 4; }
+    return d + (u < 10ULL ? 1 : u < 100ULL ? 2 : u < 1000ULL ? 3 : 4);
+}
+
+// Byte length of everything before the cg tag (fields + tags + newline).
+static long long record_prefix_len(long long i, const long long* ints,
+                                   const unsigned char* flags,
+                                   const unsigned char* type,
+                                   const long long* qname_off,
+                                   const long long* tname_off,
+                                   const char* name_pool) {
+    const long long* R = ints + i * 13;
+    long long n = (long long)strlen(name_pool + qname_off[i])
+                + (long long)strlen(name_pool + tname_off[i])
+                + 11 + 2;  // 11 tabs + strand char + newline
+    for (int j = 0; j < 9; ++j) n += i64_digits(R[j]);
+    if (type[i] != 0 || R[10] != -1) n += 7;
+    if (R[9] != 2147483647LL) n += 6 + i64_digits(R[9]);
+    if (R[10] != -1) n += 6 + i64_digits(R[10]);
+    if (R[11] != -1) n += 6 + i64_digits(R[11]);
+    if (R[12] != -1) n += 6 + i64_digits(R[12]);
+    return n;
 }
 
 static long long record_ser_len(long long i, const long long* ints,
@@ -485,16 +525,8 @@ static long long record_ser_len(long long i, const long long* ints,
                                 const long long* op_lens,
                                 const long long* cig_off,
                                 const long long* cg_len) {
-    const long long* R = ints + i * 13;
-    long long n = (long long)strlen(name_pool + qname_off[i])
-                + (long long)strlen(name_pool + tname_off[i])
-                + 11 + 2;  // 11 tabs + strand char + newline
-    for (int j = 0; j < 9; ++j) n += i64_digits(R[j]);
-    if (type[i] != 0 || R[10] != -1) n += 7;
-    if (R[9] != 2147483647LL) n += 6 + i64_digits(R[9]);
-    if (R[10] != -1) n += 6 + i64_digits(R[10]);
-    if (R[11] != -1) n += 6 + i64_digits(R[11]);
-    if (R[12] != -1) n += 6 + i64_digits(R[12]);
+    long long n = record_prefix_len(i, ints, flags, type, qname_off,
+                                    tname_off, name_pool);
     if (flags[i] & 2) {
         n += 6;
         if (cg_len)  // raw-cigar mode: verbatim bytes
@@ -536,6 +568,58 @@ void paf_serialize_sizes(long long n_records,
     for (auto& t : th) t.join();
 }
 
+// Writes everything before the cg tag (fields + conditional tags), no
+// trailing newline; returns the advanced output cursor.
+static inline char* write_record_prefix(char* b, long long i,
+                                        const long long* ints,
+                                        const unsigned char* flags,
+                                        const unsigned char* type,
+                                        const long long* qname_off,
+                                        const long long* tname_off,
+                                        const char* name_pool) {
+    const long long* R = ints + i * 13;
+    const char* qn = name_pool + qname_off[i];
+    size_t ql = strlen(qn);
+    memcpy(b, qn, ql); b += ql;
+    *b++ = '\t';
+    b = write_i64(b, R[0]); *b++ = '\t';
+    b = write_i64(b, R[1]); *b++ = '\t';
+    b = write_i64(b, R[2]); *b++ = '\t';
+    *b++ = (flags[i] & 1) ? '+' : '-'; *b++ = '\t';
+    const char* tn = name_pool + tname_off[i];
+    size_t tl = strlen(tn);
+    memcpy(b, tn, tl); b += tl;
+    *b++ = '\t';
+    b = write_i64(b, R[3]); *b++ = '\t';
+    b = write_i64(b, R[4]); *b++ = '\t';
+    b = write_i64(b, R[5]); *b++ = '\t';
+    b = write_i64(b, R[6]); *b++ = '\t';
+    b = write_i64(b, R[7]); *b++ = '\t';
+    b = write_i64(b, R[8]);
+    if (type[i] != 0 || R[10] != -1) {
+        char c = type[i] ? (char)type[i] : (R[10] > 1 ? 'S' : 'P');
+        memcpy(b, "\ttp:A:", 6); b += 6;
+        *b++ = c;
+    }
+    if (R[9] != 2147483647LL) {
+        memcpy(b, "\tAS:i:", 6); b += 6;
+        b = write_i64(b, R[9]);
+    }
+    if (R[10] != -1) {
+        memcpy(b, "\ttl:i:", 6); b += 6;
+        b = write_i64(b, R[10]);
+    }
+    if (R[11] != -1) {
+        memcpy(b, "\tcn:i:", 6); b += 6;
+        b = write_i64(b, R[11]);
+    }
+    if (R[12] != -1) {
+        memcpy(b, "\ts1:i:", 6); b += 6;
+        b = write_i64(b, R[12]);
+    }
+    return b;
+}
+
 // Returns 0 on success, 1 if any record's written length disagreed with
 // its measured length (drift guard between the two passes).
 long long paf_serialize_fill(long long n_records,
@@ -559,46 +643,8 @@ long long paf_serialize_fill(long long n_records,
         for (long long r = r0; r < r1; ++r) {
             const long long i = order ? order[r] : r;
             char* b = out + out_off[r];
-            const long long* R = ints + i * 13;
-            const char* qn = name_pool + qname_off[i];
-            size_t ql = strlen(qn);
-            memcpy(b, qn, ql); b += ql;
-            *b++ = '\t';
-            b = write_i64(b, R[0]); *b++ = '\t';
-            b = write_i64(b, R[1]); *b++ = '\t';
-            b = write_i64(b, R[2]); *b++ = '\t';
-            *b++ = (flags[i] & 1) ? '+' : '-'; *b++ = '\t';
-            const char* tn = name_pool + tname_off[i];
-            size_t tl = strlen(tn);
-            memcpy(b, tn, tl); b += tl;
-            *b++ = '\t';
-            b = write_i64(b, R[3]); *b++ = '\t';
-            b = write_i64(b, R[4]); *b++ = '\t';
-            b = write_i64(b, R[5]); *b++ = '\t';
-            b = write_i64(b, R[6]); *b++ = '\t';
-            b = write_i64(b, R[7]); *b++ = '\t';
-            b = write_i64(b, R[8]);
-            if (type[i] != 0 || R[10] != -1) {
-                char c = type[i] ? (char)type[i] : (R[10] > 1 ? 'S' : 'P');
-                memcpy(b, "\ttp:A:", 6); b += 6;
-                *b++ = c;
-            }
-            if (R[9] != 2147483647LL) {
-                memcpy(b, "\tAS:i:", 6); b += 6;
-                b = write_i64(b, R[9]);
-            }
-            if (R[10] != -1) {
-                memcpy(b, "\ttl:i:", 6); b += 6;
-                b = write_i64(b, R[10]);
-            }
-            if (R[11] != -1) {
-                memcpy(b, "\tcn:i:", 6); b += 6;
-                b = write_i64(b, R[11]);
-            }
-            if (R[12] != -1) {
-                memcpy(b, "\ts1:i:", 6); b += 6;
-                b = write_i64(b, R[12]);
-            }
+            b = write_record_prefix(b, i, ints, flags, type, qname_off,
+                                    tname_off, name_pool);
             if (flags[i] & 2) {
                 memcpy(b, "\tcg:Z:", 6); b += 6;
                 if (raw_buf) {
@@ -628,11 +674,12 @@ long long paf_serialize_fill(long long n_records,
     return bad.load();
 }
 
-// C printf %f of a float32 value promoted to double; NaN prints "nan"
-// unsigned to match Python's str(np.float32 nan) (paf_pretty_print's
-// Identity fields, impl/paf.c:272-273).
+// C printf %f of a float32 value promoted to double (paf_pretty_print's
+// Identity fields, impl/paf.c:272-273).  NaN keeps its sign: x86 0.0f/0.0f
+// yields the default QNaN with the sign bit SET, which glibc prints as
+// "-nan" — the reference binary's observable behavior on empty-match
+// records (fuzz seed 11's all-D record caught the unsigned special case).
 static inline char* write_f6(char* b, float v) {
-    if (v != v) { memcpy(b, "nan", 3); return b + 3; }
     return b + snprintf(b, 40, "%f", (double)v);
 }
 
@@ -694,6 +741,7 @@ long long view_stats_lines(long long n_records,
 
 static unsigned char UPPER_TBL[256];
 static unsigned char COMP_TBL[256];
+static unsigned char UPPER_COMP_TBL[256];   // upper(comp(x)) in one lookup
 static bool tables_init = false;
 
 static void init_tables() {
@@ -705,8 +753,107 @@ static void init_tables() {
     const char* a = "acgtmrwsykvhdbnxACGTMRWSYKVHDBNX";
     const char* b = "tgcakywsrmbdhvnxTGCAKYWSRMBDHVNX";
     for (int i = 0; a[i]; ++i) COMP_TBL[(unsigned char)a[i]] = b[i];
+    for (int i = 0; i < 256; ++i)
+        UPPER_COMP_TBL[i] = UPPER_TBL[COMP_TBL[i]];
     tables_init = true;
 }
+
+// ------------------------------------------ batched `view -a` interleave
+// Per record: its stat line (sliced from the pre-formatted blob) followed
+// by the 3-row base-level alignment rendering in 150-column windows
+// (paf_pretty_print2, impl/paf.c:282-314).  The caller precomputes exact
+// per-record output offsets: stat_len + 3*n_cols + 3*ceil(n_cols/150).
+// Threaded over records; clamped reads mirror the numpy fallback's clip.
+void view_render_batch(long long n_records,
+                       const long long* off, const unsigned char* ops,
+                       const long long* op_lens,
+                       const long long* qstart, const long long* qend,
+                       const long long* tstart, const unsigned char* strand,
+                       const unsigned char* pool,
+                       const long long* qpool_off, const long long* tpool_off,
+                       const long long* qseq_len, const long long* tseq_len,
+                       const char* stat_blob, const long long* stat_off,
+                       const long long* out_off, char* out,
+                       long long n_threads);
+
+void view_render_batch(long long n_records,
+                       const long long* off, const unsigned char* ops,
+                       const long long* op_lens,
+                       const long long* qstart, const long long* qend,
+                       const long long* tstart, const unsigned char* strand,
+                       const unsigned char* pool,
+                       const long long* qpool_off, const long long* tpool_off,
+                       const long long* qseq_len, const long long* tseq_len,
+                       const char* stat_blob, const long long* stat_off,
+                       const long long* out_off, char* out,
+                       long long n_threads) {
+    init_tables();
+    auto work = [&](long long r0, long long r1) {
+        char tbuf[150], qbuf[150], sbuf[150];
+        for (long long i = r0; i < r1; ++i) {
+            char* b = out + out_off[i];
+            if (stat_blob) {
+                const long long sl = stat_off[i + 1] - stat_off[i];
+                memcpy(b, stat_blob + stat_off[i], (size_t)sl);
+                b += sl;
+            }
+            const unsigned char* q = pool + qpool_off[i];
+            const unsigned char* t = pool + tpool_off[i];
+            const long long ql = qseq_len[i], tl = tseq_len[i];
+            const bool fwd = strand[i] != 0;
+            long long qi = 0, tj = tstart[i];
+            int w = 0;
+            auto flush = [&]() {
+                memcpy(b, tbuf, w); b += w; *b++ = '\n';
+                memcpy(b, qbuf, w); b += w; *b++ = '\n';
+                memcpy(b, sbuf, w); b += w; *b++ = '\n';
+                w = 0;
+            };
+            auto clampq = [&](long long p) {
+                return q[p < 0 ? 0 : (p >= ql ? ql - 1 : p)];
+            };
+            auto clampt = [&](long long p) {
+                return t[p < 0 ? 0 : (p >= tl ? tl - 1 : p)];
+            };
+            for (long long k = off[i]; k < off[i + 1]; ++k) {
+                const unsigned char op = ops[k];
+                const long long L = op_lens[k];
+                for (long long c = 0; c < L; ++c) {
+                    unsigned char tc, qc;
+                    if (op == 1) {            // query_insert: target gap
+                        tc = '-';
+                        qc = fwd ? clampq(qstart[i] + qi)
+                                 : COMP_TBL[clampq(qend[i] - 1 - qi)];
+                        ++qi;
+                    } else if (op == 2) {     // query_delete: query gap
+                        tc = clampt(tj++);
+                        qc = '-';
+                    } else {                  // M/=/X: both advance
+                        tc = clampt(tj++);
+                        qc = fwd ? clampq(qstart[i] + qi)
+                                 : COMP_TBL[clampq(qend[i] - 1 - qi)];
+                        ++qi;
+                    }
+                    tbuf[w] = (char)tc;
+                    qbuf[w] = (char)qc;
+                    sbuf[w] = UPPER_TBL[tc] == UPPER_TBL[qc] ? '*' : ' ';
+                    if (++w == 150) flush();
+                }
+            }
+            if (w) flush();
+        }
+    };
+    if (n_threads <= 1 || n_records < 64) {
+        work(0, n_records);
+        return;
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s)
+        th.emplace_back(work, n_records * s / n_threads,
+                        n_records * (s + 1) / n_threads);
+    for (auto& t2 : th) t2.join();
+}
+
 
 static inline unsigned long long mix64(unsigned long long x) {
     x += 0x9e3779b97f4a7c15ULL;
@@ -1837,6 +1984,215 @@ long long build_packed2_grid(long long n_mops, const long long* lens,
         while (cur_rec <= n_records) rec_chunk_off[cur_rec++] = (int)u;
     }
     return u;
+}
+
+// --------------------------------------- fused mismatch-encode + serialize
+// add_mismatches end-to-end in two threaded passes: walk each record's
+// cigar, compare query/target bases over M runs (paf_encode_mismatches,
+// impl/paf.c:739-784) and emit the output PAF LINE TEXT directly — no
+// intermediate =/X op arrays (a 16x-golden run materialized ~1 GB of CSR
+// ints), no separate serializer passes.  Phase 1 measures each line's
+// exact byte length; caller prefix-sums; phase 2 writes at exact offsets.
+// The per-record walk mirrors the reference exactly: query walks forward
+// from query_start on '+', backward from query_end-1 with complement on
+// '-'; target always forward from target_start; =/X runs never merge
+// across original op boundaries.
+
+}  // extern "C" (template helpers need C++ linkage)
+
+template <bool WRITE>
+static inline long long encode_cigar_walk(long long i, const long long* ints,
+                                          const unsigned char* flags,
+                                          const unsigned char* ops,
+                                          const long long* op_lens,
+                                          const long long* cig_off,
+                                          const unsigned char* pool,
+                                          const long long* qpool_off,
+                                          const long long* tpool_off,
+                                          char* out) {
+    static const char opch[5] = {'M', 'I', 'D', '=', 'X'};
+    const long long* R = ints + i * 13;
+    const unsigned char* q = pool + qpool_off[i];
+    const unsigned char* t = pool + tpool_off[i];
+    const bool fwd = (flags[i] & 1) != 0;
+    long long qi = 0, tj = R[4];   // R[4] = target_start
+    long long n = 0;
+    char* b = out;
+    for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k) {
+        const unsigned char op = ops[k];
+        const long long L = op_lens[k];
+        if (op == 0) {             // M: compare and emit =/X runs
+            const unsigned char* tp = t + tj;
+            int prev;
+            long long run = 1, c = 1;
+            // direction-specialized compare loops (the step multiply +
+            // complement branch per column measured as real cost); the
+            // reverse loop folds upper(comp(x)) into one table
+            if (fwd) {
+                const unsigned char* qp = q + R[1] + qi;   // query_start
+                prev = UPPER_TBL[tp[0]] == UPPER_TBL[qp[0]];
+                for (; c < L; ++c) {
+                    const int m = UPPER_TBL[tp[c]] == UPPER_TBL[qp[c]];
+                    if (m != prev) {
+                        if (WRITE) {
+                            b = write_i64(b, run);
+                            *b++ = prev ? '=' : 'X';
+                        } else {
+                            n += i64_digits(run) + 1;
+                        }
+                        run = 0;
+                        prev = m;
+                    }
+                    ++run;
+                }
+            } else {
+                const unsigned char* qp = q + R[2] - 1 - qi; // query_end-1
+                prev = UPPER_TBL[tp[0]] == UPPER_COMP_TBL[qp[0]];
+                for (; c < L; ++c) {
+                    const int m = UPPER_TBL[tp[c]] == UPPER_COMP_TBL[qp[-c]];
+                    if (m != prev) {
+                        if (WRITE) {
+                            b = write_i64(b, run);
+                            *b++ = prev ? '=' : 'X';
+                        } else {
+                            n += i64_digits(run) + 1;
+                        }
+                        run = 0;
+                        prev = m;
+                    }
+                    ++run;
+                }
+            }
+            if (L > 0) {
+                if (WRITE) {
+                    b = write_i64(b, run);
+                    *b++ = prev ? '=' : 'X';
+                } else {
+                    n += i64_digits(run) + 1;
+                }
+            }
+            qi += L; tj += L;
+        } else {
+            if (WRITE) {
+                b = write_i64(b, L);
+                *b++ = opch[op];
+            } else {
+                n += i64_digits(L) + 1;
+            }
+            if (op == 1) qi += L;          // query_insert
+            else if (op == 2) tj += L;     // query_delete
+            else { qi += L; tj += L; }     // =/X pass-through consume both
+        }
+    }
+    return WRITE ? (b - out) : n;
+}
+
+// Column-balanced record range bounds: weight = ops + query span (a proxy
+// for compare columns; exact balance needs a columns pass of its own).
+static void encode_rec_bounds(long long n_records, const long long* ints,
+                              const long long* cig_off, long long n_threads,
+                              std::vector<long long>& rb) {
+    rb.assign(n_threads + 1, n_records);
+    rb[0] = 0;
+    if (n_threads <= 1) return;
+    double total = 0;
+    for (long long i = 0; i < n_records; ++i)
+        total += (double)(cig_off[i + 1] - cig_off[i])
+               + (double)(ints[i * 13 + 2] - ints[i * 13 + 1]);
+    double acc = 0;
+    long long i = 0;
+    for (long long s = 1; s < n_threads; ++s) {
+        const double target = total * (double)s / (double)n_threads;
+        while (i < n_records && acc < target) {
+            acc += (double)(cig_off[i + 1] - cig_off[i])
+                 + (double)(ints[i * 13 + 2] - ints[i * 13 + 1]);
+            ++i;
+        }
+        rb[s] = i;
+    }
+}
+
+extern "C" {
+
+void encode_serialize_sizes(long long n_records,
+                            const long long* ints,
+                            const unsigned char* flags,
+                            const unsigned char* type,
+                            const long long* qname_off,
+                            const long long* tname_off,
+                            const char* name_pool,
+                            const unsigned char* ops,
+                            const long long* op_lens,
+                            const long long* cig_off,
+                            const unsigned char* pool,
+                            const long long* qpool_off,
+                            const long long* tpool_off,
+                            long long* sizes, long long n_threads) {
+    init_tables();
+    std::vector<long long> rb;
+    encode_rec_bounds(n_records, ints, cig_off, n_threads, rb);
+    auto work = [&](long long r0, long long r1) {
+        for (long long i = r0; i < r1; ++i) {
+            long long n = record_prefix_len(i, ints, flags, type, qname_off,
+                                            tname_off, name_pool);
+            if (flags[i] & 2)
+                n += 6 + encode_cigar_walk<false>(
+                    i, ints, flags, ops, op_lens, cig_off, pool,
+                    qpool_off, tpool_off, nullptr);
+            sizes[i] = n;
+        }
+    };
+    if (n_threads <= 1) { work(0, n_records); return; }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s)
+        th.emplace_back(work, rb[s], rb[s + 1]);
+    for (auto& t : th) t.join();
+}
+
+long long encode_serialize_fill(long long n_records,
+                                const long long* ints,
+                                const unsigned char* flags,
+                                const unsigned char* type,
+                                const long long* qname_off,
+                                const long long* tname_off,
+                                const char* name_pool,
+                                const unsigned char* ops,
+                                const long long* op_lens,
+                                const long long* cig_off,
+                                const unsigned char* pool,
+                                const long long* qpool_off,
+                                const long long* tpool_off,
+                                const long long* out_off,
+                                char* out, long long n_threads) {
+    init_tables();
+    std::vector<long long> rb;
+    encode_rec_bounds(n_records, ints, cig_off, n_threads, rb);
+    std::atomic<long long> bad{0};
+    auto work = [&](long long r0, long long r1) {
+        for (long long i = r0; i < r1; ++i) {
+            char* b = out + out_off[i];
+            b = write_record_prefix(b, i, ints, flags, type, qname_off,
+                                    tname_off, name_pool);
+            if (flags[i] & 2) {
+                memcpy(b, "\tcg:Z:", 6); b += 6;
+                b += encode_cigar_walk<true>(
+                    i, ints, flags, ops, op_lens, cig_off, pool,
+                    qpool_off, tpool_off, b);
+            }
+            *b++ = '\n';
+            if (b - (out + out_off[i]) != out_off[i + 1] - out_off[i])
+                bad = 1;
+        }
+    };
+    if (n_threads <= 1) {
+        work(0, n_records);
+        return bad.load();
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s)
+        th.emplace_back(work, rb[s], rb[s + 1]);
+    for (auto& t : th) t.join();
+    return bad.load();
 }
 
 }  // extern "C"
