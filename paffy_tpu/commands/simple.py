@@ -40,7 +40,27 @@ def shatter_main(argv) -> int:
     p = base_parser("paffy shatter", "Break up paf alignments into individual matches")
     args = p.parse_args(argv)
     timer = start(args, "Paffy shatter")
-    stream_transform(args, tr.shatter)
+    from paffy_tpu.commands.common import (open_output_binary,
+                                           close_output_binary,
+                                           stream_tables)
+    from paffy_tpu import native
+    from paffy_tpu.core.model import SEQ_MATCH, SEQ_MISMATCH
+    out = open_output_binary(args)
+    try:
+        for t in stream_tables(args):
+            if not len(t):
+                continue
+            if np.any((t.ops == SEQ_MATCH) | (t.ops == SEQ_MISMATCH)):
+                raise ValueError(
+                    "paf shatter requires M-encoded cigars (no =/X runs)")
+            # fused native shatter+serialize: each M run's line emitted
+            # straight from the cigar walk (no intermediate shard table),
+            # streamed to the output in reused buffer slices
+            if native.shatter_serialize(t, fh=out) is None:
+                # no toolchain: generic batch transform
+                out.write(pafio.serialize_paf_bytes(tr.shatter(t)))
+    finally:
+        close_output_binary(out)
     timer.done()
     return 0
 
@@ -242,13 +262,13 @@ def add_mismatches_main(argv) -> int:
             # reference's check-after-encode (impl/paf_add_mismatches.c:133)
             pafio.paf_check(t)
             # fused native encode+serialize: M->=/X runs emitted straight
-            # as output line text, no intermediate =/X CSR arrays
-            blob = native.encode_serialize(t, pool.host_pool, qpo, tpo)
-            if blob is None:   # no toolchain: generic batch transform
+            # as output line text (no intermediate =/X CSR arrays),
+            # streamed to the output in reused buffer slices
+            if native.encode_serialize(t, pool.host_pool, qpo, tpo,
+                                       fh=out) is None:
+                # no toolchain: generic batch transform
                 t2 = encode_mismatches(t, pool)
                 out.write(pafio.serialize_paf_bytes(t2))
-            else:
-                out.write(blob.data)
     except KeyError as e:
         print(str(e.args[0]), file=sys.stderr)
         return 1

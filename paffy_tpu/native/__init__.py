@@ -224,6 +224,14 @@ def get_lib():
         lib.encode_serialize_fill.restype = ctypes.c_longlong
         lib.encode_serialize_fill.argtypes = _enc_common + [
             _I64P, ctypes.c_char_p, ctypes.c_longlong]
+        _shat_common = [ctypes.c_longlong, _I64P, _U8P, _U8P, _I64P, _I64P,
+                        ctypes.c_char_p, _U8P, _I64P, _I64P]
+        lib.shatter_serialize_sizes.restype = None
+        lib.shatter_serialize_sizes.argtypes = _shat_common + [
+            _I64P, ctypes.c_longlong]
+        lib.shatter_serialize_fill.restype = ctypes.c_longlong
+        lib.shatter_serialize_fill.argtypes = _shat_common + [
+            _I64P, ctypes.c_char_p, ctypes.c_longlong]
         _lib = lib
         return _lib
 
@@ -939,8 +947,76 @@ def _default_threads(n_threads):
     return min(os.cpu_count() or 1, 8) if n_threads is None else n_threads
 
 
+_STREAM_CHUNK = 32 << 20   # reused fill-buffer size for streamed egress
+
+
+def _stream_two_phase(out_off, fh, fill_range, n):
+    """Write a two-phase serialization to ``fh`` in reused ~32 MB slices:
+    fill_range(r0, r1, rebased_out_off, buf) writes records [r0, r1) at
+    offset 0 of ``buf``.  A single exact-size allocation page-faults in the
+    whole output (hundreds of MB) before any byte reaches the file; the
+    reused buffer keeps RSS flat and overlaps fill with write."""
+    buf = np.empty(min(int(out_off[-1]), _STREAM_CHUNK) + 1, dtype=np.uint8)
+    r0 = 0
+    while r0 < n:
+        r1 = int(np.searchsorted(out_off, out_off[r0] + _STREAM_CHUNK,
+                                 side="right")) - 1
+        r1 = max(r1, r0 + 1)
+        size = int(out_off[r1] - out_off[r0])
+        if size > len(buf):   # one record larger than the chunk
+            buf = np.empty(size, dtype=np.uint8)
+        rebased = np.ascontiguousarray(out_off[r0: r1 + 1] - out_off[r0])
+        fill_range(r0, r1, rebased, buf)
+        fh.write(memoryview(buf.data)[:size])
+        r0 = r1
+
+
+def shatter_serialize(t, n_threads: int | None = None, fh=None):
+    """Fused paffy shatter egress: walk each record's cigar (paf_shatter,
+    impl/paf.c:600-663) and serialize every M run's single-op output line
+    in one threaded native pass pair — no intermediate shard table.
+    Returns a uint8 ndarray of the serialized bytes, or None without a
+    toolchain.  Caller must reject =/X-encoded cigars first (the reference
+    asserts on them)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from paffy_tpu.core.pafio import _table_to_arrays
+    ints, flags = _table_to_arrays(t)
+    name_pool, qoff, toff = _name_pool(t.qname, t.tname)
+    n = len(flags)
+    ints = np.ascontiguousarray(ints, dtype=np.int64)
+    rtype = np.ascontiguousarray(t.type)
+    ops = np.ascontiguousarray(t.ops, dtype=np.uint8)
+    lens = np.ascontiguousarray(t.lens, dtype=np.int64)
+    off = np.ascontiguousarray(t.off, dtype=np.int64)
+    nt = _default_threads(n_threads)
+    out_off = np.empty(n + 1, dtype=np.int64)
+    out_off[0] = 0
+    lib.shatter_serialize_sizes(n, _p_i64(ints), _p_u8(flags), _p_u8(rtype),
+                                _p_i64(qoff), _p_i64(toff), name_pool,
+                                _p_u8(ops), _p_i64(lens), _p_i64(off),
+                                _p_i64(out_off[1:]), nt)
+    np.cumsum(out_off[1:], out=out_off[1:])
+
+    def fill(r0, r1, oo, buf):
+        rc = lib.shatter_serialize_fill(
+            r1 - r0, _p_i64(ints[r0:]), _p_u8(flags[r0:]),
+            _p_u8(rtype[r0:]), _p_i64(qoff[r0:]), _p_i64(toff[r0:]),
+            name_pool, _p_u8(ops), _p_i64(lens), _p_i64(off[r0:]),
+            _p_i64(oo), buf.ctypes.data_as(ctypes.c_char_p), nt)
+        if rc != 0:  # measured/written drift — never expected; fail loudly
+            raise RuntimeError("shatter_serialize_fill length mismatch")
+    if fh is not None:
+        _stream_two_phase(out_off, fh, fill, n)
+        return True
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    fill(0, n, out_off, out)
+    return out
+
+
 def encode_serialize(t, pool: np.ndarray, qpool_off, tpool_off,
-                     n_threads: int | None = None):
+                     n_threads: int | None = None, fh=None):
     """Fused add_mismatches egress: encode each record's M runs to =/X runs
     (paf_encode_mismatches, impl/paf.c:739-784) and serialize the output PAF
     line (tag rules impl/paf.c:317-389) in one threaded native pass pair —
@@ -975,16 +1051,21 @@ def encode_serialize(t, pool: np.ndarray, qpool_off, tpool_off,
                                _p_u8(pool), _p_i64(qpool_off),
                                _p_i64(tpool_off), _p_i64(out_off[1:]), nt)
     np.cumsum(out_off[1:], out=out_off[1:])
+
+    def fill(r0, r1, oo, buf):
+        rc = lib.encode_serialize_fill(
+            r1 - r0, _p_i64(ints[r0:]), _p_u8(flags[r0:]),
+            _p_u8(rtype[r0:]), _p_i64(qoff[r0:]), _p_i64(toff[r0:]),
+            name_pool, _p_u8(ops), _p_i64(lens), _p_i64(off[r0:]),
+            _p_u8(pool), _p_i64(qpool_off[r0:]), _p_i64(tpool_off[r0:]),
+            _p_i64(oo), buf.ctypes.data_as(ctypes.c_char_p), nt)
+        if rc != 0:  # measured/written drift — never expected; fail loudly
+            raise RuntimeError("encode_serialize_fill length mismatch")
+    if fh is not None:
+        _stream_two_phase(out_off, fh, fill, n)
+        return True
     out = np.empty(int(out_off[-1]), dtype=np.uint8)
-    rc = lib.encode_serialize_fill(n, _p_i64(ints), _p_u8(flags),
-                                   _p_u8(rtype), _p_i64(qoff), _p_i64(toff),
-                                   name_pool, _p_u8(ops), _p_i64(lens),
-                                   _p_i64(off), _p_u8(pool),
-                                   _p_i64(qpool_off), _p_i64(tpool_off),
-                                   _p_i64(out_off),
-                                   out.ctypes.data_as(ctypes.c_char_p), nt)
-    if rc != 0:  # measured/written drift — never expected; fail loudly
-        raise RuntimeError("encode_serialize_fill length mismatch")
+    fill(0, n, out_off, out)
     return out
 
 

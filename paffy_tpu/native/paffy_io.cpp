@@ -2112,6 +2112,163 @@ static void encode_rec_bounds(long long n_records, const long long* ints,
     }
 }
 
+// ------------------------------------------ fused shatter + serialize
+// paffy shatter end-to-end: walk each record's cigar (paf_shatter,
+// impl/paf.c:600-663 — query starts at query_start on '+' / query_end on
+// '-' and walks backward; target forward from target_start) and emit each
+// M run's single-op gapless output LINE directly — no intermediate
+// 2.9M-record table, no [N,13] ints matrix, no separate serializer passes.
+// Shattered records inherit score/mapq/tile_level/type/chain_id and get
+// chain_score=0 (the calloc'd default in paf_shatter2) -> "\ts1:i:0" is
+// always emitted; cigar is "{L}M".
+
+template <bool WRITE>
+static inline long long shatter_walk_rec(long long i, const long long* ints,
+                                         const unsigned char* flags,
+                                         const unsigned char* type,
+                                         const long long* qname_off,
+                                         const long long* tname_off,
+                                         const char* name_pool,
+                                         const unsigned char* ops,
+                                         const long long* op_lens,
+                                         const long long* cig_off,
+                                         char* out) {
+    const long long* R = ints + i * 13;
+    const char* qn = name_pool + qname_off[i];
+    const char* tn = name_pool + tname_off[i];
+    const size_t qnl = strlen(qn), tnl = strlen(tn);
+    const bool fwd = (flags[i] & 1) != 0;
+    // per-record constant bytes of each output line (fields 0,1,4,5,6,11,
+    // the 11 field tabs, the tag block incl. s1:i:0, "\tcg:Z:", "M\n")
+    long long fixed = (long long)qnl + (long long)tnl + 1 + 11
+                    + i64_digits(R[0]) + i64_digits(R[3])
+                    + i64_digits(R[8]) + 7 /* \ts1:i:0 */
+                    + 6 /* \tcg:Z: */ + 2 /* M\n */;
+    if (type[i] != 0 || R[10] != -1) fixed += 7;
+    if (R[9] != 2147483647LL) fixed += 6 + i64_digits(R[9]);
+    if (R[10] != -1) fixed += 6 + i64_digits(R[10]);
+    if (R[11] != -1) fixed += 6 + i64_digits(R[11]);
+    long long q = fwd ? R[1] : R[2];    // query_start / query_end
+    long long t = R[4];                 // target_start
+    long long n = 0;
+    char* b = out;
+    for (long long k = cig_off[i]; k < cig_off[i + 1]; ++k) {
+        const unsigned char op = ops[k];
+        const long long L = op_lens[k];
+        if (op == 0) {
+            if (!fwd) q -= L;
+            if (WRITE) {
+                memcpy(b, qn, qnl); b += qnl; *b++ = '\t';
+                b = write_i64(b, R[0]); *b++ = '\t';
+                b = write_i64(b, q); *b++ = '\t';
+                b = write_i64(b, q + L); *b++ = '\t';
+                *b++ = fwd ? '+' : '-'; *b++ = '\t';
+                memcpy(b, tn, tnl); b += tnl; *b++ = '\t';
+                b = write_i64(b, R[3]); *b++ = '\t';
+                b = write_i64(b, t); *b++ = '\t';
+                b = write_i64(b, t + L); *b++ = '\t';
+                b = write_i64(b, L); *b++ = '\t';
+                b = write_i64(b, L); *b++ = '\t';
+                b = write_i64(b, R[8]);
+                if (type[i] != 0 || R[10] != -1) {
+                    char c = type[i] ? (char)type[i]
+                                     : (R[10] > 1 ? 'S' : 'P');
+                    memcpy(b, "\ttp:A:", 6); b += 6; *b++ = c;
+                }
+                if (R[9] != 2147483647LL) {
+                    memcpy(b, "\tAS:i:", 6); b += 6;
+                    b = write_i64(b, R[9]);
+                }
+                if (R[10] != -1) {
+                    memcpy(b, "\ttl:i:", 6); b += 6;
+                    b = write_i64(b, R[10]);
+                }
+                if (R[11] != -1) {
+                    memcpy(b, "\tcn:i:", 6); b += 6;
+                    b = write_i64(b, R[11]);
+                }
+                memcpy(b, "\ts1:i:0", 7); b += 7;
+                memcpy(b, "\tcg:Z:", 6); b += 6;
+                b = write_i64(b, L);
+                *b++ = 'M'; *b++ = '\n';
+            } else {
+                const long long dL = i64_digits(L);
+                n += fixed + i64_digits(q) + i64_digits(q + L)
+                   + i64_digits(t) + i64_digits(t + L) + 3 * dL;
+            }
+            if (fwd) q += L;
+            t += L;
+        } else if (op == 1) {           // query_insert
+            q += fwd ? L : -L;
+        } else {                        // query_delete
+            t += L;
+        }
+    }
+    return WRITE ? (b - out) : n;
+}
+
+extern "C" void shatter_serialize_sizes(long long n_records,
+                                        const long long* ints,
+                                        const unsigned char* flags,
+                                        const unsigned char* type,
+                                        const long long* qname_off,
+                                        const long long* tname_off,
+                                        const char* name_pool,
+                                        const unsigned char* ops,
+                                        const long long* op_lens,
+                                        const long long* cig_off,
+                                        long long* sizes,
+                                        long long n_threads) {
+    std::vector<long long> rb;
+    encode_rec_bounds(n_records, ints, cig_off, n_threads, rb);
+    auto work = [&](long long r0, long long r1) {
+        for (long long i = r0; i < r1; ++i)
+            sizes[i] = shatter_walk_rec<false>(
+                i, ints, flags, type, qname_off, tname_off, name_pool,
+                ops, op_lens, cig_off, nullptr);
+    };
+    if (n_threads <= 1) { work(0, n_records); return; }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s)
+        th.emplace_back(work, rb[s], rb[s + 1]);
+    for (auto& t : th) t.join();
+}
+
+extern "C" long long shatter_serialize_fill(long long n_records,
+                                            const long long* ints,
+                                            const unsigned char* flags,
+                                            const unsigned char* type,
+                                            const long long* qname_off,
+                                            const long long* tname_off,
+                                            const char* name_pool,
+                                            const unsigned char* ops,
+                                            const long long* op_lens,
+                                            const long long* cig_off,
+                                            const long long* out_off,
+                                            char* out, long long n_threads) {
+    std::vector<long long> rb;
+    encode_rec_bounds(n_records, ints, cig_off, n_threads, rb);
+    std::atomic<long long> bad{0};
+    auto work = [&](long long r0, long long r1) {
+        for (long long i = r0; i < r1; ++i) {
+            long long w = shatter_walk_rec<true>(
+                i, ints, flags, type, qname_off, tname_off, name_pool,
+                ops, op_lens, cig_off, out + out_off[i]);
+            if (w != out_off[i + 1] - out_off[i]) bad = 1;
+        }
+    };
+    if (n_threads <= 1) {
+        work(0, n_records);
+        return bad.load();
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s)
+        th.emplace_back(work, rb[s], rb[s + 1]);
+    for (auto& t : th) t.join();
+    return bad.load();
+}
+
+
 extern "C" {
 
 void encode_serialize_sizes(long long n_records,

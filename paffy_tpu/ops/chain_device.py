@@ -33,8 +33,16 @@ def _dp_scan(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos,
     qend-sorted coordinate/processing-index arrays padded to n_pad + w_pad;
     lo/w/pos are per-step window start, window width, and the record's own
     slot in qend order (where its chain score is scattered).
+
+    The DP dtype follows qs.dtype: int32 inputs run the whole recurrence in
+    int32 (int64 is u32-pair emulated on TPU; the int32 form measured ~2x
+    the int64 scan, bench r4).  Values must fit: coords, scores, and chain
+    totals < 2^31 (the int32 router checks this).
     """
-    lane = jnp.arange(w_pad, dtype=jnp.int64)
+    dt = qs.dtype
+    neg = _NEG if dt == jnp.int64 else jnp.asarray(
+        np.iinfo(np.dtype(dt.name)).min // 4, dt)
+    lane = jnp.arange(w_pad, dtype=dt)
 
     def step(cs_sorted, x):
         i, lo_i, w_i, pos_i = x
@@ -48,13 +56,13 @@ def _dp_scan(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos,
         qgap = qs[i] - qe_w
         g = jnp.where(qgap + tgap == 0, 0, gap_open + gap_extend * (qgap + tgap))
         ok &= g < score[i]
-        val = jnp.where(ok, score[i] + cs_w - g, _NEG)
+        val = jnp.where(ok, score[i] + cs_w - g, neg)
         best = jnp.max(val)
         tie = val == best
         # argmax of (te, qe, idx) among ties — nested reductions
-        t_best = jnp.max(jnp.where(tie, te_w, _NEG))
+        t_best = jnp.max(jnp.where(tie, te_w, neg))
         tie &= te_w == t_best
-        q_best = jnp.max(jnp.where(tie, qe_w, _NEG))
+        q_best = jnp.max(jnp.where(tie, qe_w, neg))
         tie &= qe_w == q_best
         j = jnp.max(jnp.where(tie, idx_w, -1))
         adopt = best > score[i]
@@ -63,8 +71,8 @@ def _dp_scan(qs, ts, score, qe_s, te_s, idx_s, lo, w, pos,
         cs_sorted = cs_sorted.at[pos_i].set(cs_i, mode="drop")
         return cs_sorted, (cs_i, pred_i)
 
-    cs0 = jnp.full(n_pad + w_pad, _NEG, dtype=jnp.int64)
-    steps = (jnp.arange(n_pad, dtype=jnp.int64), lo, w, pos)
+    cs0 = jnp.full(n_pad + w_pad, neg, dtype=dt)
+    steps = (jnp.arange(n_pad, dtype=dt), lo, w, pos)
     _, (cs, pred) = jax.lax.scan(step, cs0, steps)
     return cs, pred
 
@@ -116,10 +124,14 @@ def chain_groups_device(groups, gap_open, gap_extend, max_gap, mesh=None):
                                        max_gap, mesh)
 
 
-def _chain_groups_device_bucket(groups, gap_open, gap_extend, max_gap,
-                                mesh=None):
-    """One size bucket of chain_groups_device: every group pads to the
-    bucket's n_pad / the bucket's own max window."""
+def build_bucket_args(groups, max_gap, dtype=np.int64):
+    """Pad one size bucket of groups into the batched-scan argument arrays.
+
+    Returns (args, n_pad, w_pad) with args the 9 [G, n_pad(+w_pad)] arrays
+    of _dp_scan_groups in ``dtype``.  int32 is valid when every coordinate,
+    score, and possible chain total fits in int31 (the bench and the
+    multichip pipeline use it — the int64 scan is u32-pair emulated on TPU
+    and measured ~2x slower)."""
     n_pad = bucket_size(max(len(g[0]) for g in groups))
     all_lo, all_w, all_orders = [], [], []
     for qs, qe, ts, te, score in groups:
@@ -131,15 +143,15 @@ def _chain_groups_device_bucket(groups, gap_open, gap_extend, max_gap,
         max(int(w.max(initial=0)) for w in all_w) or 1, minimum=8)
 
     g_count = len(groups)
-    qs_b = np.zeros((g_count, n_pad), dtype=np.int64)
-    ts_b = np.zeros((g_count, n_pad), dtype=np.int64)
-    sc_b = np.zeros((g_count, n_pad), dtype=np.int64)
-    qe_s = np.zeros((g_count, n_pad + w_pad), dtype=np.int64)
-    te_s = np.zeros((g_count, n_pad + w_pad), dtype=np.int64)
-    idx_s = np.full((g_count, n_pad + w_pad), n_pad, dtype=np.int64)
-    lo_b = np.zeros((g_count, n_pad), dtype=np.int64)
-    w_b = np.zeros((g_count, n_pad), dtype=np.int64)
-    pos_b = np.full((g_count, n_pad), n_pad + w_pad, dtype=np.int64)
+    qs_b = np.zeros((g_count, n_pad), dtype=dtype)
+    ts_b = np.zeros((g_count, n_pad), dtype=dtype)
+    sc_b = np.zeros((g_count, n_pad), dtype=dtype)
+    qe_s = np.zeros((g_count, n_pad + w_pad), dtype=dtype)
+    te_s = np.zeros((g_count, n_pad + w_pad), dtype=dtype)
+    idx_s = np.full((g_count, n_pad + w_pad), n_pad, dtype=dtype)
+    lo_b = np.zeros((g_count, n_pad), dtype=dtype)
+    w_b = np.zeros((g_count, n_pad), dtype=dtype)
+    pos_b = np.full((g_count, n_pad), n_pad + w_pad, dtype=dtype)
     for gi, (qs, qe, ts, te, score) in enumerate(groups):
         n = len(qs)
         qe_order = all_orders[gi]
@@ -152,7 +164,16 @@ def _chain_groups_device_bucket(groups, gap_open, gap_extend, max_gap,
         lo_b[gi, :n] = all_lo[gi]
         w_b[gi, :n] = all_w[gi]
         pos_b[gi][qe_order] = np.arange(n)
-    args = (qs_b, ts_b, sc_b, qe_s, te_s, idx_s, lo_b, w_b, pos_b)
+    return ((qs_b, ts_b, sc_b, qe_s, te_s, idx_s, lo_b, w_b, pos_b),
+            n_pad, w_pad)
+
+
+def _chain_groups_device_bucket(groups, gap_open, gap_extend, max_gap,
+                                mesh=None):
+    """One size bucket of chain_groups_device: every group pads to the
+    bucket's n_pad / the bucket's own max window."""
+    args, n_pad, w_pad = build_bucket_args(groups, max_gap)
+    g_count = len(groups)
     if mesh is not None:
         # pad the group axis to the data axis and shard it: each device DPs
         # its own groups, no cross-group communication (padding groups have
