@@ -34,6 +34,10 @@ def chunk_main(argv) -> int:
     p.add_argument("-c", "--chunkSize", type=int, default=10000000)
     p.add_argument("-o", "--overlap", type=int, default=100000)
     p.add_argument("-d", "--dir", default="./temp_fastas")
+    p.add_argument("--lineWidth", type=int, default=0,
+                   help="Wrap FASTA sequence lines at this width (0 = one "
+                        "line per sequence, the default byte format; "
+                        "sonLib's fastaWrite wraps)")
     args = p.parse_args(argv)
     set_log_level_from_string(args.logLevel)
     timer = CommandTimer("Faffy chunk")
@@ -89,7 +93,8 @@ def chunk_main(argv) -> int:
                 j = min(i + args.chunkSize + args.overlap, n)
                 piece = seq[i:j]
                 _check_acgtn(piece, f"chunk of {header}")
-                write_fasta_record(chunk_fh, f"{header}|{n}|{i}", piece)
+                write_fasta_record(chunk_fh, f"{header}|{n}|{i}", piece,
+                                   args.lineWidth)
                 chunk_remaining -= j - i
                 if chunk_remaining <= 0:
                     finish_chunk()
@@ -102,10 +107,15 @@ def merge_main(argv) -> int:
     p = base_parser("faffy merge",
                     "Merges a series of fasta files, which may contain "
                     "overlapping sequences, into a single fasta file")
+    p.add_argument("--lineWidth", type=int, default=0,
+                   help="Wrap FASTA sequence lines at this width (0 = one "
+                        "line per overlap piece, the default byte format)")
     args = p.parse_args(argv)
     timer = start(args, "Faffy merge")
     inp = open_input(args)
     out = open_output(args)
+    from paffy_tpu.core.fasta import SequenceLineWriter
+    writer = SequenceLineWriter(out, args.lineWidth)
 
     # overlap resolution state: the trailing (possibly overlapping) sequence
     # and its coordinate in the original sequence (impl/fasta_merge.c:34-86)
@@ -120,7 +130,8 @@ def merge_main(argv) -> int:
                     assert offset >= 0
                     if offset == 0:
                         if p_seq is not None:
-                            out.write(p_seq + "\n")
+                            writer.piece(p_seq)
+                        writer.end()
                         # strip the two provenance fields from the header
                         out.write(">" + "|".join(parts[:-2]) + "\n")
                         p_coord = 0
@@ -132,11 +143,12 @@ def merge_main(argv) -> int:
                         # split the overlap at its midpoint (impl/fasta_merge.c:69)
                         split_point = (p_coord + seq_len + offset) // 2
                         log_debug("Merging at a split point: %d", split_point)
-                        out.write(p_seq[: split_point - p_coord] + "\n")
+                        writer.piece(p_seq[: split_point - p_coord])
                         p_seq = seq[split_point - offset:]
                         p_coord = split_point
         if p_seq is not None:
-            out.write(p_seq + "\n")
+            writer.piece(p_seq)
+        writer.end()
     finally:
         if inp is not sys.stdin:
             inp.close()
@@ -156,6 +168,9 @@ def extract_main(argv) -> int:
     p.add_argument("-f", "--flank", type=int, default=10)
     p.add_argument("-m", "--minSize", type=int, default=100)
     p.add_argument("-n", "--skipMissing", action="store_true")
+    p.add_argument("--lineWidth", type=int, default=0,
+                   help="Wrap FASTA sequence lines at this width (0 = one "
+                        "line per sequence, the default byte format)")
     args = p.parse_args(argv)
     set_log_level_from_string(args.logLevel)
     timer = CommandTimer("Faffy extract")
@@ -189,7 +204,8 @@ def extract_main(argv) -> int:
             seq = seqs[name]
             piece = seq[s:e]
             _check_acgtn(piece, f"extract of {name}")
-            write_fasta_record(out, f"{name}|{len(seq)}|{s}", piece)
+            write_fasta_record(out, f"{name}|{len(seq)}|{s}", piece,
+                               args.lineWidth)
 
         # flank-expand, then coalesce overlapping/adjacent intervals
         # (impl/fasta_extract.c:199-233)

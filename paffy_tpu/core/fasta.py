@@ -100,12 +100,60 @@ def read_fasta_list(path_or_file) -> list[tuple[str, str]]:
     return out
 
 
-def write_fasta_record(fh, header: str, sequence: str) -> None:
+def write_fasta_record(fh, header: str, sequence: str,
+                       line_width: int = 0) -> None:
+    """Write one FASTA record.  ``line_width=0`` (default) emits the
+    sequence as a single line — the byte format the refbuild shim pins and
+    every reader accepts.  A positive width wraps sequence lines at that
+    many characters, like sonLib's fastaWrite (the reference's emitter,
+    impl/fasta_extract.c:35-51, impl/fasta_merge.c:47-84); faffy commands
+    expose it as --lineWidth."""
     fh.write(">")
     fh.write(header)
     fh.write("\n")
-    fh.write(sequence)
-    fh.write("\n")
+    if line_width > 0:
+        for i in range(0, len(sequence), line_width):
+            fh.write(sequence[i: i + line_width])
+            fh.write("\n")
+        if not sequence:
+            fh.write("\n")
+    else:
+        fh.write(sequence)
+        fh.write("\n")
+
+
+class SequenceLineWriter:
+    """Incremental sequence-line writer with a column carry, for emitters
+    that produce one logical sequence across several write calls (faffy
+    merge's overlap-split pieces).  width=0 reproduces the historical
+    one-line-per-piece output exactly."""
+
+    def __init__(self, fh, width: int = 0):
+        self.fh = fh
+        self.width = width
+        self.col = 0
+
+    def piece(self, s: str) -> None:
+        if self.width <= 0:
+            self.fh.write(s)
+            self.fh.write("\n")
+            return
+        w = self.width
+        while s:
+            room = w - self.col
+            self.fh.write(s[:room])
+            if len(s) >= room:
+                self.fh.write("\n")
+                self.col = 0
+            else:
+                self.col += len(s)
+            s = s[room:]
+
+    def end(self) -> None:
+        """Finish the current sequence (close a partial wrapped line)."""
+        if self.width > 0 and self.col:
+            self.fh.write("\n")
+            self.col = 0
 
 
 def load_sequences(paths: list[str]) -> dict[str, str]:

@@ -53,14 +53,17 @@ from paffy_tpu.ops.segments import bucket_size
 
 _NEG = np.int64(-(1 << 62))
 
-# Group size at which the device lax.scan DP takes over from the host
-# windowed sweep.  With candidate windowing the host sweep is O(sum of
-# window sizes) — 3.6 s for a 100k-record single group — while a fresh
-# device scan pays a per-(n_pad, w_pad) compile that dwarfs that (minutes
-# over the axon tunnel for 64k-step scans).  The device DP therefore ships
-# OFF by default for the single-group path; it earns its keep batched over
-# many groups at once (chain_groups_device, the multichip pipeline route),
-# where one compile serves [G, n_pad] groups in parallel.
+# Group size at which the device lax.scan DP would take over from the host
+# windowed sweep.  Pinned to "never" BY MEASUREMENT, not as a placeholder:
+# the round-4 fair fight (bench_chain_kernel_only — device-RESIDENT group
+# arrays, 8 executions per dispatch, int32 recurrence) measured the scan at
+# 4.8x the native host DP kernel-only (1114 ms vs 230 ms on the 92-group
+# shattered golden), because each scan step does rectangular w_pad-wide
+# work through serialized dynamic slices while the host sweep does
+# O(actual window) work.  t_dev = 4.8*t_host + transfer + dispatch has no
+# winning regime while a host core exists (docs/PERF_NOTES.md 2026-08-20).
+# The scan kernel remains the multichip sharded-pipeline route
+# (group-per-device under a mesh) and the no-toolchain fallback.
 DEVICE_GROUP_THRESHOLD = 1 << 40
 
 
