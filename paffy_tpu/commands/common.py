@@ -120,17 +120,28 @@ import os
 BATCH_BYTES = int(os.environ.get("PAFFY_TPU_BATCH_BYTES", 256 * 1024 * 1024))
 
 
-def stream_tables(args, batch_bytes: int | None = None):
-    """Yield PafTable batches from the input, splitting at line boundaries."""
+def stream_tables(args, batch_bytes: int | None = None,
+                  parse_cigars: bool = True, validate_cigars: bool = False):
+    """Yield PafTable batches from the input, splitting at line boundaries.
+
+    ``parse_cigars=False`` streams raw-cigar tables (cg re-emitted
+    verbatim); ``validate_cigars`` adds the full parser's cigar acceptance
+    rule with automatic full-parse fallback on non-canonical input — for
+    commands whose reference counterpart parses cigars it never reads
+    (see pafio.parse_paf_data)."""
     bb = batch_bytes or BATCH_BYTES
     fh = open_input_binary(args)
+
+    def parse(data):
+        return pafio.parse_paf_data(data, parse_cigars=parse_cigars,
+                                    validate_cigars=validate_cigars)
     try:
         leftover = b""
         while True:
             chunk = fh.read(bb)
             if not chunk:
                 if leftover:
-                    yield pafio.parse_paf_data(leftover)
+                    yield parse(leftover)
                 return
             chunk = leftover + chunk
             cut = chunk.rfind(b"\n")
@@ -138,17 +149,18 @@ def stream_tables(args, batch_bytes: int | None = None):
                 leftover = chunk
                 continue
             leftover = chunk[cut + 1:]
-            yield pafio.parse_paf_data(chunk[: cut + 1])
+            yield parse(chunk[: cut + 1])
     finally:
         close_input_binary(fh)
 
 
-def stream_transform(args, fn):
+def stream_transform(args, fn, **stream_kw):
     """read -> fn(batch) -> write, batch by batch (the reference's streaming
-    loop shape, e.g. impl/paf_invert.c:84-89, at batch granularity)."""
+    loop shape, e.g. impl/paf_invert.c:84-89, at batch granularity).
+    ``stream_kw`` forwards to stream_tables (raw-cigar modes)."""
     out = open_output_binary(args)
     try:
-        for t in stream_tables(args):
+        for t in stream_tables(args, **stream_kw):
             res = fn(t)
             if res is not None and len(res):
                 out.write(pafio.serialize_paf_bytes(res))

@@ -20,21 +20,20 @@ from paffy_tpu.utils.logging import log_info, log_debug
 
 def _dechunk_side(names, starts, ends, lengths):
     """Decode name|length|start headers and shift one coordinate side
-    (convertCoordinatesP, impl/paf_dechunk.c:24-38)."""
-    cache: dict[str, tuple[str, int, int]] = {}
-    new_names = np.empty(len(names), dtype=object)
-    shift = np.zeros(len(names), dtype=np.int64)
-    new_len = np.zeros(len(names), dtype=np.int64)
-    for i, nm in enumerate(names):
-        c = cache.get(nm)
-        if c is None:
-            iv = decode_header(nm)
-            c = (iv.name, iv.start, iv.length)
-            cache[nm] = c
-        new_names[i] = c[0]
-        shift[i] = c[1]
-        new_len[i] = c[2]
-    return new_names, starts + shift, ends + shift, new_len
+    (convertCoordinatesP, impl/paf_dechunk.c:24-38).  Headers are decoded
+    once per DISTINCT name (one vectorized unique pass; a per-record dict
+    loop paid Python overhead on every record of chunk-dense inputs)."""
+    uniq, inv = np.unique(names, return_inverse=True)
+    dn = np.empty(len(uniq), dtype=object)
+    ds = np.empty(len(uniq), dtype=np.int64)
+    dl = np.empty(len(uniq), dtype=np.int64)
+    for k, nm in enumerate(uniq):
+        iv = decode_header(nm)
+        dn[k] = iv.name
+        ds[k] = iv.start
+        dl[k] = iv.length
+    shift = ds[inv]
+    return dn[inv], starts + shift, ends + shift, dl[inv]
 
 
 def dechunk_main(argv) -> int:
@@ -69,30 +68,45 @@ def dechunk_main(argv) -> int:
 def _upconvert_side(intervals, names, starts, ends, lengths):
     """Rewrite one coordinate side into extracted-fragment space
     (fix_interval, impl/paf_upconvert.c:52-69). Records not contained in any
-    fragment pass through unchanged."""
+    fragment pass through unchanged.
+
+    Vectorized per distinct name: one searchsorted over the name's sorted
+    fragment starts covers all its records, and fragment header strings are
+    built once per fragment (the per-record bisect loop was the 64x-audit
+    bottleneck of this command)."""
     new_names = np.array(names, dtype=object)
     new_starts = starts.copy()
     new_ends = ends.copy()
     new_lens = lengths.copy()
-    for i, nm in enumerate(names):
+    uniq, inv = np.unique(names, return_inverse=True)
+    for u_i, nm in enumerate(uniq):
         frags = intervals.get(nm)
         if not frags:
             continue
-        fs = [f[0] for f in frags]
-        k = bisect.bisect_right(fs, int(starts[i])) - 1
-        if k < 0:
-            continue
-        fstart, fend, flen = frags[k]
-        if int(starts[i]) > fend:  # start <= frag end is the containment rule
-            continue
-        if int(ends[i]) > fend:
+        sel = np.nonzero(inv == u_i)[0]
+        fs = np.array([f[0] for f in frags], dtype=np.int64)
+        fe = np.array([f[1] for f in frags], dtype=np.int64)
+        fl = np.array([f[2] for f in frags], dtype=np.int64)
+        k = np.searchsorted(fs, starts[sel], side="right") - 1
+        kc = np.clip(k, 0, len(fs) - 1)
+        # start <= frag end is the containment rule
+        ok = (k >= 0) & (starts[sel] <= fe[kc])
+        cross = ok & (ends[sel] > fe[kc])
+        if cross.any():
+            i = int(sel[np.nonzero(cross)[0][0]])
+            ki = int(kc[np.nonzero(cross)[0][0]])
             raise pafio.PafCheckError(
                 f"alignment crosses extracted-fragment boundary: {nm} "
-                f"[{starts[i]},{ends[i]}) vs fragment [{fstart},{fend})")
-        new_names[i] = f"{nm}|{flen}|{fstart}"
-        new_starts[i] = starts[i] - fstart
-        new_ends[i] = ends[i] - fstart
-        new_lens[i] = flen
+                f"[{starts[i]},{ends[i]}) vs fragment "
+                f"[{int(fs[ki])},{int(fe[ki])})")
+        fragnames = np.array([f"{nm}|{l}|{s}" for s, _, l in frags],
+                             dtype=object)
+        app = sel[ok]
+        kf = kc[ok]
+        new_names[app] = fragnames[kf]
+        new_starts[app] = starts[app] - fs[kf]
+        new_ends[app] = ends[app] - fs[kf]
+        new_lens[app] = fl[kf]
     return new_names, new_starts, new_ends, new_lens
 
 
@@ -105,22 +119,38 @@ def upconvert_main(argv) -> int:
     timer = start(args, "Paf upconvert")
     # read fragment intervals from extracted-FASTA headers
     # (fastaRead_readCoordinates, impl/paf_upconvert.c:27-33): end = start +
-    # actual fragment length; length = decoded original sequence length
+    # actual fragment length; length = decoded original sequence length.
+    # Only headers + sequence LENGTHS are needed — the native two-pass
+    # FASTA reader supplies them without per-line Python string work (the
+    # str path measured 1.1 s on a 66 MB fragment file).
+    from paffy_tpu import native
     intervals: dict[str, list[tuple[int, int, int]]] = {}
     for f in args.fasta_files:
-        for header, seq in read_fasta_list(f):
+        with open(f, "rb") as fh:
+            res = native.fasta_pack_bytes(fh.read())
+        if res is None:   # no toolchain: python reader
+            recs = ((h, len(s)) for h, s in read_fasta_list(f))
+        else:
+            recs = ((name, ln) for name, _off, ln in res[1])
+        for header, seq_len in recs:
             iv = decode_header(header)
             intervals.setdefault(iv.name, []).append(
-                (iv.start, iv.start + len(seq), iv.length))
+                (iv.start, iv.start + seq_len, iv.length))
     for v in intervals.values():
         v.sort()
-    t = read_table(args)
-    qn, qs, qe, ql = _upconvert_side(intervals, t.qname, t.qstart, t.qend, t.qlen)
-    tn, ts, te, tl = _upconvert_side(intervals, t.tname, t.tstart, t.tend, t.tlen)
-    t = replace(t, qname=qn, qstart=qs, qend=qe, qlen=ql,
-                tname=tn, tstart=ts, tend=te, tlen=tl)
-    pafio.paf_check(t)
-    write_table(t, args)
+    out = open_output_binary(args)
+    try:
+        for t in stream_tables(args):
+            qn, qs, qe, ql = _upconvert_side(intervals, t.qname, t.qstart,
+                                             t.qend, t.qlen)
+            tn, ts, te, tl = _upconvert_side(intervals, t.tname, t.tstart,
+                                             t.tend, t.tlen)
+            t = replace(t, qname=qn, qstart=qs, qend=qe, qlen=ql,
+                        tname=tn, tstart=ts, tend=te, tlen=tl)
+            pafio.paf_check(t)
+            out.write(pafio.serialize_paf_bytes(t))
+    finally:
+        close_output_binary(out)
     timer.done()
     return 0
 
@@ -148,7 +178,10 @@ def split_file_main(argv) -> int:
     state = {"small_idx": 0, "small_total": 0, "small_path": None}
     total = 0
     try:
-        for t in stream_tables(args):
+        # raw-cigar streaming: split_file only demuxes by name; cigars are
+        # re-emitted verbatim (validated — the reference parses them)
+        for t in stream_tables(args, parse_cigars=False,
+                               validate_cigars=True):
             total += len(t)
             names = t.qname if args.query else t.tname
             lengths = t.qlen if args.query else t.tlen

@@ -26,12 +26,33 @@ def invert_main(argv) -> int:
     p = base_parser("paffy invert", "Inverts the query and target in a PAF file")
     args = p.parse_args(argv)
     timer = start(args, "Paf invert")
-
-    def step(t):
-        t = tr.invert(t)
-        pafio.paf_check(t)
-        return t
-    stream_transform(args, step)
+    from paffy_tpu.commands.common import (open_output_binary,
+                                           close_output_binary,
+                                           stream_tables)
+    from paffy_tpu import native
+    out = open_output_binary(args)
+    try:
+        # raw-cigar streaming: invert's cigar transform is token-wise
+        # (I<->D swap, reversal for '-' records), so the fused native path
+        # rewrites the cigar TEXT without ever parsing it into op arrays;
+        # spans are checked during tokenization and bounds on the raw table
+        # (together: the reference's post-invert paf_check).  Non-canonical
+        # or no-toolchain inputs arrive fully parsed and take the generic
+        # transform path.
+        for t in stream_tables(args, parse_cigars=False,
+                               validate_cigars=True):
+            if not len(t):
+                continue
+            done = None
+            if t.raw_cg is not None:
+                pafio.paf_check(t)   # bounds; q/t-symmetric == post-invert
+                done = native.invert_serialize(t, fh=out)
+            if done is None:
+                t = tr.invert(t)
+                pafio.paf_check(t)
+                out.write(pafio.serialize_paf_bytes(t))
+    finally:
+        close_output_binary(out)
     timer.done()
     return 0
 
@@ -81,7 +102,11 @@ def dedupe_main(argv) -> int:
                 log_debug("Got duplicate pafs:")
                 log_debug("\t\tdupe (1) - : %s", pafio.format_record(t, i))
         return t.take(keep)
-    stream_transform(args, step)
+    # raw-cigar streaming: dedupe keys on coordinates only, so the cg tag
+    # is re-emitted verbatim; validate_cigars keeps the reference parser's
+    # reject/canonicalize behavior (the reference fully parses cigars it
+    # never reads, impl/paf_dedupe.c + impl/paf.c:70-111)
+    stream_transform(args, step, parse_cigars=False, validate_cigars=True)
     timer.done()
     return 0
 

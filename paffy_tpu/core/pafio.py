@@ -58,7 +58,8 @@ def parse_paf_text(text: str) -> PafTable:
     return parse_paf_data(data)
 
 
-def parse_paf_data(data: bytes, parse_cigars: bool = True) -> PafTable:
+def parse_paf_data(data: bytes, parse_cigars: bool = True,
+                   validate_cigars: bool = False) -> PafTable:
     """Parse PAF bytes (one record per line) into a PafTable.
 
     The bytes-first entry point — the CLI plumbing reads files in binary
@@ -73,9 +74,16 @@ def parse_paf_data(data: bytes, parse_cigars: bool = True) -> PafTable:
     data.  Without the native toolchain the flag is ignored and cigars are
     parsed (results identical for well-formed input; raw mode additionally
     passes non-canonical cigars through untouched, as the reference does).
+
+    ``validate_cigars`` (raw mode only) is for commands whose REFERENCE
+    counterpart fully parses cigars it never reads (dedupe, split_file):
+    cigar text is checked against the parser's acceptance rule, and inputs
+    whose re-emission the full parser would canonicalize (leading-zero
+    lengths) automatically fall back to the full parse — raw speed on the
+    overwhelmingly common canonical input, byte-exact behavior on all.
     """
     if not parse_cigars:
-        table = _parse_native_raw(data)
+        table = _parse_native_raw(data, validate_cigars)
         if table is not None:
             return table
     table = _parse_native(data)
@@ -84,16 +92,17 @@ def parse_paf_data(data: bytes, parse_cigars: bool = True) -> PafTable:
     return _parse_python(data.decode("latin-1"))
 
 
-def _parse_native_raw(data: bytes) -> PafTable | None:
+def _parse_native_raw(data: bytes,
+                      validate_cigars: bool = False) -> PafTable | None:
     try:
         from paffy_tpu import native
     except ImportError:
         return None
     try:
-        res = native.parse_paf_bytes_raw(data)
+        res = native.parse_paf_bytes_raw(data, validate_cigars)
     except native.NativeParseError as e:
         raise PafFormatError(str(e)) from e
-    if res is None:
+    if res is None or res == "noncanon":
         return None
     ints, flags, rtype, qnames, tnames, cg_start, cg_len = res
     n = len(flags)

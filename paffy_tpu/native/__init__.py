@@ -90,7 +90,8 @@ def get_lib():
         lib.paf_fill_raw.restype = ctypes.c_longlong
         lib.paf_fill_raw.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                      _I64P, _U8P, _U8P, _I64P, _I64P,
-                                     ctypes.c_char_p, _I64P, _I64P]
+                                     ctypes.c_char_p, _I64P, _I64P,
+                                     ctypes.c_longlong, _I64P]
         lib.encode_runs_per_mop.restype = None
         lib.encode_runs_per_mop.argtypes = [_U8P, ctypes.c_longlong, _I64P,
                                             _I64P, _I64P, _U8P, _I64P,
@@ -226,6 +227,11 @@ def get_lib():
             _I64P, ctypes.c_char_p, ctypes.c_longlong]
         _shat_common = [ctypes.c_longlong, _I64P, _U8P, _U8P, _I64P, _I64P,
                         ctypes.c_char_p, _U8P, _I64P, _I64P]
+        lib.invert_serialize_fill.restype = ctypes.c_longlong
+        lib.invert_serialize_fill.argtypes = [
+            ctypes.c_longlong, _I64P, _U8P, _U8P, _I64P, _I64P,
+            ctypes.c_char_p, ctypes.c_char_p, _I64P, _I64P, _I64P,
+            ctypes.c_char_p, ctypes.c_longlong]
         lib.shatter_serialize_sizes.restype = None
         lib.shatter_serialize_sizes.argtypes = _shat_common + [
             _I64P, ctypes.c_longlong]
@@ -326,13 +332,21 @@ def parse_paf_bytes(data: bytes, n_threads: int | None = None):
     return ints, flags, rtype, qnames, tnames, ops, lens, off
 
 
-def parse_paf_bytes_raw(data: bytes):
+def parse_paf_bytes_raw(data: bytes, validate_cigars: bool = False):
     """Parse PAF text WITHOUT parsing cigars — the reference's
     read_pafs(parse_cigar=0) mode (impl/paf_chain.c:128): the cg tag stays
     an unparsed byte range into ``data`` and is re-emitted verbatim.
 
+    ``validate_cigars`` applies the full parser's cigar-text acceptance
+    rule (for commands whose reference counterpart DOES parse cigars, e.g.
+    dedupe/split_file — raw mode must reject what they reject) and returns
+    the string "noncanon" when any cigar length has a leading zero: valid
+    input the full parser would canonicalize on re-emit, so the caller
+    must fall back to the full parse to stay byte-identical.
+
     Returns (ints[n,13], flags[n], type[n], qnames, tnames, cg_start[n],
-    cg_len[n]) or None when the native library is unavailable.
+    cg_len[n]), None when the native library is unavailable, or
+    "noncanon" (validate_cigars only).
     """
     lib = get_lib()
     if lib is None:
@@ -352,12 +366,16 @@ def parse_paf_bytes_raw(data: bytes):
     pool = np.empty(max(nb, 1), dtype=np.uint8)
     cg_start = np.empty(n, dtype=np.int64)
     cg_len = np.empty(n, dtype=np.int64)
+    noncanon = np.zeros(1, dtype=np.int64)
     rc = lib.paf_fill_raw(data, len(data), _p_i64(ints), _p_u8(flags),
                           _p_u8(rtype), _p_i64(qoff), _p_i64(toff),
                           pool.ctypes.data_as(ctypes.c_char_p),
-                          _p_i64(cg_start), _p_i64(cg_len))
+                          _p_i64(cg_start), _p_i64(cg_len),
+                          1 if validate_cigars else 0, _p_i64(noncanon))
     if rc != 0:
         raise NativeParseError(f"malformed PAF at line {rc}")
+    if validate_cigars and noncanon[0]:
+        return "noncanon"
     raw = pool.tobytes()
     qnames = np.empty(n, dtype=object)
     tnames = np.empty(n, dtype=object)
@@ -969,6 +987,64 @@ def _stream_two_phase(out_off, fh, fill_range, n):
         fill_range(r0, r1, rebased, buf)
         fh.write(memoryview(buf.data)[:size])
         r0 = r1
+
+
+def invert_serialize(t, n_threads: int | None = None, fh=None):
+    """Fused paffy invert egress over a RAW-cigar table: emit each record
+    with query/target swapped (paf_invert, impl/paf.c:463-490) and the
+    cigar text transformed token-wise (I<->D swap; token order reversed for
+    opposite-strand records) — no cigar parse, no op arrays.  Spans are
+    checked during tokenization (the reference's post-invert paf_check);
+    bounds checks are the caller's (vectorized paf_check on the raw table).
+
+    Returns the serialized bytes (or True with ``fh``), or None without a
+    toolchain / non-raw table.  Raises PafCheckError-compatible ValueError
+    on span mismatch."""
+    lib = get_lib()
+    if lib is None or t.raw_cg is None:
+        return None
+    from paffy_tpu.core.pafio import _table_to_arrays
+    raw_buf, cg_start, cg_len = t.raw_cg
+    ints, flags = _table_to_arrays(t)
+    # swap query/target columns: [qlen qs qe tlen ts te ...] -> t first
+    ints = np.ascontiguousarray(
+        ints[:, [3, 4, 5, 0, 1, 2, 6, 7, 8, 9, 10, 11, 12]])
+    name_pool, qoff, toff = _name_pool(t.qname, t.tname)
+    n = len(flags)
+    rtype = np.ascontiguousarray(t.type)
+    cg_start = np.ascontiguousarray(cg_start, dtype=np.int64)
+    cg_len = np.ascontiguousarray(cg_len, dtype=np.int64)
+    nt = _default_threads(n_threads)
+    # sizes: prefix + verbatim-length cigar (the I<->D/reversal transform
+    # preserves byte length) — reuse the raw-mode serializer size pass with
+    # swapped names/ints
+    out_off = np.empty(n + 1, dtype=np.int64)
+    out_off[0] = 0
+    lib.paf_serialize_sizes(n, _p_i64(ints), _p_u8(flags), _p_u8(rtype),
+                            _p_i64(toff), _p_i64(qoff), name_pool,
+                            None, None, None, None, _p_i64(cg_len),
+                            _p_i64(out_off[1:]), nt)
+    np.cumsum(out_off[1:], out=out_off[1:])
+
+    def fill(r0, r1, oo, buf):
+        rc = lib.invert_serialize_fill(
+            r1 - r0, _p_i64(ints[r0:]), _p_u8(flags[r0:]),
+            _p_u8(rtype[r0:]), _p_i64(toff[r0:]), _p_i64(qoff[r0:]),
+            name_pool, raw_buf, _p_i64(cg_start[r0:]), _p_i64(cg_len[r0:]),
+            _p_i64(oo), buf.ctypes.data_as(ctypes.c_char_p), nt)
+        if rc == -2:
+            raise RuntimeError("invert_serialize_fill drift/malformed")
+        if rc >= 0:
+            from paffy_tpu.core.pafio import PafCheckError
+            raise PafCheckError(
+                "Paf cigar alignment does not match query/target length "
+                f"(record {r0 + rc})")
+    if fh is not None:
+        _stream_two_phase(out_off, fh, fill, n)
+        return True
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+    fill(0, n, out_off, out)
+    return out
 
 
 def shatter_serialize(t, n_threads: int | None = None, fh=None):

@@ -354,12 +354,19 @@ long long paf_fill_mt(const char* buf, long long len, long long n_threads,
 // Raw-cigar fill: identical field/tag walk to paf_fill, but the cg tag is
 // recorded as an unparsed [cg_start, cg_start+cg_len) byte range into the
 // input buffer instead of op arrays (paf_scan_raw's pass 2).
+// validate != 0: cigar TEXT is checked against the reference parser's
+// acceptance rule (runs of digits + one of MIDX=; anything else is the
+// cigar_parse abort, impl/paf.c:102) and *noncanon is set when any length
+// has a leading zero — valid input the full parser would CANONICALIZE on
+// re-emit, so verbatim raw re-emission would diverge; callers fall back
+// to the full parse for those (rare) inputs.
 long long paf_fill_raw(const char* buf, long long len,
                        long long* ints,          // [n_records * 13]
                        unsigned char* flags, unsigned char* type,
                        long long* qname_off, long long* tname_off,
                        char* name_pool,
-                       long long* cg_start, long long* cg_len) {
+                       long long* cg_start, long long* cg_len,
+                       long long validate, long long* noncanon) {
     long long rec = 0, npos = 0;
     long long line_no = 0;
     const char* p = buf;
@@ -431,6 +438,22 @@ long long paf_fill_raw(const char* buf, long long len,
                     R[12] = parse_i64(v, te);
                 } else if (tg[0] == 'c' && tg[1] == 'g') {
                     if (te > v) {
+                        if (validate) {
+                            const char* c = v;
+                            while (c < te) {
+                                if (*c < '0' || *c > '9') return line_no;
+                                if (*c == '0' && c + 1 < te
+                                    && c[1] >= '0' && c[1] <= '9')
+                                    *noncanon = 1;
+                                while (c < te && *c >= '0' && *c <= '9')
+                                    ++c;
+                                if (c >= te) return line_no;
+                                const char op = *c++;
+                                if (op != 'M' && op != 'I' && op != 'D'
+                                    && op != 'X' && op != '=')
+                                    return line_no;
+                            }
+                        }
                         cg_start[rec] = v - buf;
                         cg_len[rec] = te - v;
                         fl |= 2;
@@ -2110,6 +2133,129 @@ static void encode_rec_bounds(long long n_records, const long long* ints,
         }
         rb[s] = i;
     }
+}
+
+// ------------------------------------------- fused invert + serialize
+// paffy invert over a RAW-cigar table: fields are emitted query/target-
+// swapped (paf_invert, impl/paf.c:463-490) and the cigar TEXT is
+// transformed in place of a parse: I<->D op swap, token order reversed
+// for opposite-strand records.  The transform preserves byte length
+// (digits unchanged), so the sizes pass never touches cigar text.  The
+// fill pass accumulates query/target spans while tokenizing and reports
+// the first record whose spans disagree with its (inverted) coordinates —
+// the paf_check the reference runs after inverting (impl/paf_invert.c:86);
+// bounds checks run vectorized in Python on the raw table.
+// ints here is the ALREADY-SWAPPED [n,13] matrix (caller swaps columns and
+// name offsets); cg spans are checked against R[1..2]/R[4..5] as written.
+
+static inline long long invert_cig_emit(char* b, const char* src,
+                                        long long len, bool reverse,
+                                        long long* qspan, long long* tspan) {
+    // forward: copy with I<->D swap; reverse: emit tokens back-to-front.
+    // Returns bytes written (== len) or -1 on malformed text (the raw
+    // validator normally rejects these first).
+    long long q = 0, t = 0;
+    if (!reverse) {
+        const char* p = src;
+        const char* e = src + len;
+        char* o = b;
+        while (p < e) {
+            long long v = 0;
+            const char* d0 = p;
+            while (p < e && *p >= '0' && *p <= '9') {
+                v = v * 10 + (*p - '0');
+                ++p;
+            }
+            if (p == d0 || p == e) return -1;
+            memcpy(o, d0, p - d0);
+            o += p - d0;
+            char op = *p++;
+            // swapped roles: output op I consumes output-query etc.
+            if (op == 'I') op = 'D';
+            else if (op == 'D') op = 'I';
+            else if (op != 'M' && op != 'X' && op != '=') return -1;
+            *o++ = op;
+            if (op != 'D') q += v;       // output-query consumption
+            if (op != 'I') t += v;
+        }
+        *qspan = q; *tspan = t;
+        return o - b;
+    }
+    const char* start = src;
+    const char* p = src + len;
+    char* o = b;
+    while (p > start) {
+        char op = p[-1];
+        if (op == 'I') op = 'D';
+        else if (op == 'D') op = 'I';
+        else if (op != 'M' && op != 'X' && op != '=') return -1;
+        const char* de = p - 1;
+        const char* d0 = de;
+        long long v = 0;
+        while (d0 > start && d0[-1] >= '0' && d0[-1] <= '9') --d0;
+        if (d0 == de) return -1;
+        for (const char* c = d0; c < de; ++c) v = v * 10 + (*c - '0');
+        memcpy(o, d0, de - d0);
+        o += de - d0;
+        *o++ = op;
+        if (op != 'D') q += v;
+        if (op != 'I') t += v;
+        p = d0;
+    }
+    *qspan = q; *tspan = t;
+    return o - b;
+}
+
+extern "C" long long invert_serialize_fill(long long n_records,
+                                           const long long* ints,
+                                           const unsigned char* flags,
+                                           const unsigned char* type,
+                                           const long long* qname_off,
+                                           const long long* tname_off,
+                                           const char* name_pool,
+                                           const char* raw_buf,
+                                           const long long* cg_start,
+                                           const long long* cg_len,
+                                           const long long* out_off,
+                                           char* out, long long n_threads) {
+    std::atomic<long long> bad{0};       // drift/malformed
+    std::atomic<long long> span_bad{-1}; // first span-mismatch record
+    auto work = [&](long long r0, long long r1) {
+        for (long long i = r0; i < r1; ++i) {
+            char* b = out + out_off[i];
+            b = write_record_prefix(b, i, ints, flags, type, qname_off,
+                                    tname_off, name_pool);
+            if (flags[i] & 2) {
+                memcpy(b, "\tcg:Z:", 6); b += 6;
+                long long q = 0, t = 0;
+                const long long w = invert_cig_emit(
+                    b, raw_buf + cg_start[i], cg_len[i],
+                    (flags[i] & 1) == 0, &q, &t);
+                if (w < 0) { bad = 1; continue; }
+                b += w;
+                const long long* R = ints + i * 13;
+                if (q != R[2] - R[1] || t != R[5] - R[4]) {
+                    long long cur = span_bad.load();
+                    while ((cur == -1 || i < cur)
+                           && !span_bad.compare_exchange_weak(cur, i)) {}
+                }
+            }
+            *b++ = '\n';
+            if (b - (out + out_off[i]) != out_off[i + 1] - out_off[i])
+                bad = 1;
+        }
+    };
+    if (n_threads <= 1 || n_records < 4096) {
+        work(0, n_records);
+    } else {
+        std::vector<std::thread> th;
+        for (long long s = 0; s < n_threads; ++s)
+            th.emplace_back(work, n_records * s / n_threads,
+                            n_records * (s + 1) / n_threads);
+        for (auto& t : th) t.join();
+    }
+    if (bad.load()) return -2;
+    return span_bad.load();   // -1 = ok, else first bad record
 }
 
 // ------------------------------------------ fused shatter + serialize

@@ -150,21 +150,26 @@ def main(argv=None) -> int:
     make_multicontig_paf(text, args.fold, multic)
 
     env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
-    # (name, input file, extra argv) — every paffy command that writes
-    # PAF/BED/text to stdout
+    empty = tmp / "empty.paf"
+    empty.write_bytes(b"")
+    # (label, subcommand, input file, extra argv) — every paffy command
+    # that writes PAF/BED/text to stdout; the "startup" row (dedupe over
+    # an empty file) isolates the fixed interpreter+import cost that every
+    # sub-second ratio carries
     cases = [
-        ("view", work, ["-s", "-t", str(fa)]),
-        ("chain", work, []),
-        ("tile", work, []),
-        ("to_bed", work, []),
-        ("invert", work, []),
-        ("shatter", work, []),
-        ("dedupe", work, []),
-        ("trim", work, []),
-        ("filter", work, []),
-        ("add_mismatches", work, [str(fa)]),
-        ("dechunk", chunked, []),
-        ("upconvert", work, [str(frag_fa)]),
+        ("startup", "dedupe", empty, []),
+        ("view", "view", work, ["-s", "-t", str(fa)]),
+        ("chain", "chain", work, []),
+        ("tile", "tile", work, []),
+        ("to_bed", "to_bed", work, []),
+        ("invert", "invert", work, []),
+        ("shatter", "shatter", work, []),
+        ("dedupe", "dedupe", work, []),
+        ("trim", "trim", work, []),
+        ("filter", "filter", work, []),
+        ("add_mismatches", "add_mismatches", work, [str(fa)]),
+        ("dechunk", "dechunk", chunked, []),
+        ("upconvert", "upconvert", work, [str(frag_fa)]),
     ]
     ours_f = str(repo / "bin" / "faffy")
     # faffy workloads: chunk the FASTA (dir compared), merge the reference's
@@ -221,12 +226,12 @@ def main(argv=None) -> int:
     rows = []
     results: dict[tuple[str, str], list[float]] = {}
     for it in range(args.iters):
-        for name, inp, extra in cases:
+        for name, sub, inp, extra in cases:
             if not want(name):
                 continue
             for who, binpath in (("ref", bins["paffy"]), ("our", ours)):
                 out = tmp / f"{who}_{name}.out"
-                cmd = [binpath, name, "-i", str(inp)] + extra
+                cmd = [binpath, sub, "-i", str(inp)] + extra
                 results.setdefault((who, name), []).append(
                     run_once(cmd, out, env))
         for name, refbin, ourbin, fn in custom_cases:
@@ -241,7 +246,7 @@ def main(argv=None) -> int:
                 out = tmp / f"{who}_{name}.out"
                 results.setdefault((who, name), []).append(
                     run_once([binpath] + argfn(binpath), out, env))
-    all_cases = ([n for n, _, _ in cases] + [n for n, *_ in custom_cases]
+    all_cases = ([n for n, _, _, _ in cases] + [n for n, *_ in custom_cases]
                  + [n for n, _ in faffy_cases])
     for name in all_cases:
         if not want(name):
