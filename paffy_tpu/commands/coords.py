@@ -50,14 +50,19 @@ def dechunk_main(argv) -> int:
     fix_target = not args.query
     out = open_output_binary(args)
     try:
-        for t in stream_tables(args):
+        # validated raw-cigar streaming: the reference parses cigars
+        # (impl/paf_dechunk.c:114) but never rewrites them, and its
+        # paf_check span-checks them — check_raw_spans restores that
+        # check over the verbatim cg text.
+        for t in stream_tables(args, parse_cigars=False,
+                               validate_cigars=True):
             if fix_query:
                 qn, qs, qe, ql = _dechunk_side(t.qname, t.qstart, t.qend, t.qlen)
                 t = replace(t, qname=qn, qstart=qs, qend=qe, qlen=ql)
             if fix_target:
                 tn, ts, te, tl = _dechunk_side(t.tname, t.tstart, t.tend, t.tlen)
                 t = replace(t, tname=tn, tstart=ts, tend=te, tlen=tl)
-            pafio.paf_check(t)
+            pafio.paf_check(t, check_raw_spans=True)
             out.write(pafio.serialize_paf_bytes(t))
     finally:
         close_output_binary(out)
@@ -127,11 +132,9 @@ def upconvert_main(argv) -> int:
     intervals: dict[str, list[tuple[int, int, int]]] = {}
     for f in args.fasta_files:
         with open(f, "rb") as fh:
-            res = native.fasta_pack_bytes(fh.read())
-        if res is None:   # no toolchain: python reader
+            recs = native.fasta_headers(fh.read())
+        if recs is None:   # no toolchain: python reader
             recs = ((h, len(s)) for h, s in read_fasta_list(f))
-        else:
-            recs = ((name, ln) for name, _off, ln in res[1])
         for header, seq_len in recs:
             iv = decode_header(header)
             intervals.setdefault(iv.name, []).append(
@@ -140,7 +143,12 @@ def upconvert_main(argv) -> int:
         v.sort()
     out = open_output_binary(args)
     try:
-        for t in stream_tables(args):
+        # raw-cigar streaming: the reference reads with parse_cigar=0 and
+        # its paf_check skips the span checks for unparsed cigars
+        # (impl/paf_upconvert.c:148, impl/paf.c:427-461 cigar==NULL guard),
+        # so the cg tag passes through verbatim, unvalidated — exactly
+        # what parse_cigars=False reproduces.
+        for t in stream_tables(args, parse_cigars=False):
             qn, qs, qe, ql = _upconvert_side(intervals, t.qname, t.qstart,
                                              t.qend, t.qlen)
             tn, ts, te, tl = _upconvert_side(intervals, t.tname, t.tstart,

@@ -243,7 +243,12 @@ def filter_main(argv) -> int:
                           int(t.score[i]), int(t.chain_score[i]))
                 sys.stderr.write(pafio.format_record(t, i) + "\n")
         return t.take(keep)
-    stream_transform(args, step)
+    # validated raw-cigar streaming: the reference parses cigars
+    # (impl/paf_filter.c:123) but only sums them (paf_stats_calc) and
+    # re-emits records whole, so stats tokenize from the raw text and kept
+    # records pass through verbatim; validate_cigars keeps parse-reject
+    # parity.
+    stream_transform(args, step, parse_cigars=False, validate_cigars=True)
     timer.done()
     return 0
 

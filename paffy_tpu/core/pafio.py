@@ -322,16 +322,41 @@ class PafCheckError(ValueError):
     pass
 
 
-def paf_check(t: PafTable, idx=None) -> None:
+def paf_check(t: PafTable, idx=None, check_raw_spans: bool = False) -> None:
     """Validate coordinates and cigar spans; raises on the first bad record.
 
     Mirrors paf_check (impl/paf.c:427-461): starts in-bounds, start <= end,
     end <= length, and (when a cigar is present) the cigar's query/target
     consumption equals end-start on each axis.
+
+    Raw-cigar tables normally skip the span checks (the reference's
+    cigar==NULL guard — its parse_cigar=0 callers never see spans).
+    ``check_raw_spans=True`` restores them by tokenizing span sums from the
+    raw cg text — for raw-streaming commands whose REFERENCE parses cigars
+    and so does span-check them (e.g. dechunk, impl/paf_dechunk.c:114-116).
     """
     n = len(t)
     if n == 0:
         return
+    def raw_span_check():
+        # after the coordinate checks, as in the reference's check order
+        if not (check_raw_spans and t.raw_cg is not None and idx is None):
+            return
+        from paffy_tpu import native
+        st = native.cigar_stats_raw(t)
+        if st is None:
+            return
+        aligned = st[:, 0] + st[:, 1]          # M/= + X
+        qs = aligned + st[:, 4]                # + insert bases
+        ts = aligned + st[:, 5]                # + delete bases
+        s = np.arange(n)
+        bad = t.has_cigar & (qs != (t.qend - t.qstart))
+        _raise_first(t, s, bad,
+                     "Paf cigar alignment does not match query length")
+        bad = t.has_cigar & (ts != (t.tend - t.tstart))
+        _raise_first(t, s, bad,
+                     "Paf cigar alignment does not match target length")
+
     if idx is None:
         # production path: one native pass (same checks, same first-record
         # error text; the vectorized form below is the fallback)
@@ -347,6 +372,7 @@ def paf_check(t: PafTable, idx=None) -> None:
                         "Paf cigar alignment does not match query length",
                         "Paf cigar alignment does not match target length")
                 raise PafCheckError(f"{msgs[code]}, {format_record(t, bad)}")
+            raw_span_check()
             return
     sel = np.arange(n) if idx is None else np.asarray(idx)
     bad = (t.qstart[sel] < 0) | (t.qstart[sel] >= t.qlen[sel])
@@ -369,6 +395,7 @@ def paf_check(t: PafTable, idx=None) -> None:
         _raise_first(t, sel, bad, "Paf cigar alignment does not match query length")
         bad = t.has_cigar[sel] & (ts[sel] != (t.tend[sel] - t.tstart[sel]))
         _raise_first(t, sel, bad, "Paf cigar alignment does not match target length")
+    raw_span_check()
 
 
 def _raise_first(t, sel, bad, msg):

@@ -120,6 +120,10 @@ def get_lib():
         lib.cigar_stats.restype = None
         lib.cigar_stats.argtypes = [ctypes.c_longlong, _U8P, _I64P, _I64P,
                                     _I64P]
+        lib.cigar_stats_raw.restype = None
+        lib.cigar_stats_raw.argtypes = [ctypes.c_longlong, ctypes.c_char_p,
+                                        _I64P, _I64P, _I64P,
+                                        ctypes.c_longlong]
         lib.view_stats_lines.restype = ctypes.c_longlong
         lib.view_stats_lines.argtypes = [ctypes.c_longlong, _I64P, _I64P,
                                          ctypes.c_char_p, _I64P,
@@ -191,6 +195,10 @@ def get_lib():
         lib.fasta_scan.restype = None
         lib.fasta_scan.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                    _I64P, _I64P, _I64P]
+        lib.fasta_fill_headers.restype = None
+        lib.fasta_fill_headers.argtypes = [ctypes.c_char_p,
+                                           ctypes.c_longlong,
+                                           ctypes.c_char_p, _I64P, _I64P]
         lib.fasta_fill.restype = None
         lib.fasta_fill.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                    ctypes.c_char_p, _I64P, _I64P, _I64P,
@@ -796,6 +804,34 @@ def coverage_counts(diff: np.ndarray, saturation: int):
     return out
 
 
+def fasta_headers(data: bytes):
+    """Header-only FASTA read: [(name, trimmed_seq_byte_len)] in file
+    order, no sequence pool built (see paffy_io.cpp fasta_fill_headers),
+    or None without a toolchain."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_rec = ctypes.c_longlong()
+    seq_b = ctypes.c_longlong()
+    name_b = ctypes.c_longlong()
+    lib.fasta_scan(data, len(data), ctypes.byref(n_rec),
+                   ctypes.byref(seq_b), ctypes.byref(name_b))
+    n, nb = n_rec.value, name_b.value
+    name_pool = np.empty(max(nb, 1), dtype=np.uint8)
+    name_off = np.empty(max(n, 1), dtype=np.int64)
+    seq_len = np.empty(max(n, 1), dtype=np.int64)
+    lib.fasta_fill_headers(data, len(data),
+                           name_pool.ctypes.data_as(ctypes.c_char_p),
+                           _p_i64(name_off), _p_i64(seq_len))
+    raw = name_pool.tobytes()
+    records = []
+    for i in range(n):
+        ne = raw.index(b"\0", name_off[i])
+        records.append((raw[name_off[i]: ne].decode("latin-1"),
+                        int(seq_len[i])))
+    return records
+
+
 def fasta_pack_bytes(data: bytes):
     """Two-pass native FASTA pack: (pool: uint8 array, records:
     [(name, offset, length)] in file order), or None without a toolchain.
@@ -1247,6 +1283,23 @@ def cigar_stats(n_records: int, ops, lens, off) -> np.ndarray | None:
                     _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
                     _p_i64(np.ascontiguousarray(off, dtype=np.int64)),
                     _p_i64(out))
+    return out
+
+
+def cigar_stats_raw(t) -> np.ndarray | None:
+    """Per-record stats [n,7] tokenized straight from a raw-cigar table's
+    cg text (same layout as cigar_stats), or None when the native library
+    is unavailable or the table is not raw."""
+    lib = get_lib()
+    if lib is None or t.raw_cg is None:
+        return None
+    raw_buf, cg_start, cg_len = t.raw_cg
+    n = len(cg_start)
+    out = np.empty((n, 7), dtype=np.int64)
+    lib.cigar_stats_raw(
+        n, raw_buf, _p_i64(np.ascontiguousarray(cg_start, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(cg_len, dtype=np.int64)), _p_i64(out),
+        _default_threads(None))
     return out
 
 

@@ -1064,6 +1064,44 @@ void fasta_scan(const char* buf, long long len,
     *name_bytes = nb;
 }
 
+// Headers-only fill: names + trimmed sequence byte lengths in one pass,
+// no pool allocation/memcpy (callers like upconvert only read fragment
+// names and lengths, impl/paf_upconvert.c:27-33 — packing 100s of MB of
+// bases it never looks at measured ~3 passes of pure waste).  Sizes come
+// from fasta_scan.
+void fasta_fill_headers(const char* buf, long long len,
+                        char* name_pool, long long* name_off,
+                        long long* seq_len) {
+    long long rec = -1, npos = 0, cur = 0;
+    const char* p = buf;
+    const char* end = buf + len;
+    while (p < end) {
+        const char* eol = (const char*)memchr(p, '\n', end - p);
+        const char* le = eol ? eol : end;
+        if (le > p) {
+            if (*p == '>') {
+                if (rec >= 0) seq_len[rec] = cur;
+                ++rec;
+                cur = 0;
+                const char* ne = le;
+                while (ne > p + 1 && is_ws(ne[-1])) --ne;
+                name_off[rec] = npos;
+                memcpy(name_pool + npos, p + 1, ne - p - 1);
+                npos += ne - p - 1;
+                name_pool[npos++] = '\0';
+            } else if (rec >= 0) {
+                const char* s = p;
+                const char* e = le;
+                while (s < e && is_ws(*s)) ++s;
+                while (e > s && is_ws(e[-1])) --e;
+                cur += e - s;
+            }
+        }
+        p = le + 1;
+    }
+    if (rec >= 0) seq_len[rec] = cur;
+}
+
 void fasta_fill(const char* buf, long long len,
                 char* name_pool, long long* name_off,
                 long long* seq_off, long long* seq_len,
@@ -1957,6 +1995,50 @@ void cigar_stats(long long n_records, const unsigned char* ops,
             }
         }
     }
+}
+
+// Per-record alignment stats tokenized straight from the RAW cg:Z text
+// kept by raw-cigar mode — same semantics and [n,7] layout as cigar_stats
+// (paf_stats_calc, impl/paf.c:236-260), no op arrays built.  Text is
+// assumed already accepted by paf_fill_raw's validate pass; cg_len==0
+// records report zeros.
+void cigar_stats_raw(long long n_records, const char* buf,
+                     const long long* cg_start, const long long* cg_len,
+                     long long* out, long long n_threads) {
+    auto shard = [&](long long r0, long long r1) {
+        for (long long r = r0; r < r1; ++r) {
+            long long* o = out + r * 7;
+            for (int c = 0; c < 7; ++c) o[c] = 0;
+            const char* p = buf + cg_start[r];
+            const char* e = p + cg_len[r];
+            while (p < e) {
+                long long L = 0;
+                while (p < e && *p >= '0' && *p <= '9')
+                    L = L * 10 + (*p++ - '0');
+                if (p >= e) break;
+                switch (*p++) {
+                    case 'M': o[0] += L; o[6] += L; break;
+                    case '=': o[0] += L; break;
+                    case 'X': o[1] += L; break;
+                    case 'I': o[2] += 1; o[4] += L; break;
+                    case 'D': o[3] += 1; o[5] += L; break;
+                }
+            }
+        }
+    };
+    if (n_threads <= 1 || n_records < 4096) {
+        shard(0, n_records);
+        return;
+    }
+    std::vector<std::thread> th;
+    const long long step = (n_records + n_threads - 1) / n_threads;
+    for (long long s = 0; s < n_threads; ++s) {
+        const long long r0 = s * step;
+        const long long r1 = std::min(n_records, r0 + step);
+        if (r0 >= r1) break;
+        th.emplace_back(shard, r0, r1);
+    }
+    for (auto& t : th) t.join();
 }
 
 // Chunk decomposition over the 2-bit packed pools

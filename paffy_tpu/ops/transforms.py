@@ -51,7 +51,12 @@ def stats_calc_with_m(t: PafTable) -> tuple[dict[str, np.ndarray], np.ndarray]:
     (the 6-sum numpy path below costs ~24 array passes over the op store —
     measured ~1s at 5.9M ops)."""
     from paffy_tpu import native
-    out = native.cigar_stats(len(t), t.ops, t.lens, t.off)
+    if t.raw_cg is not None:
+        # raw-cigar tables: tokenize the stats straight from the cg text
+        # (no op arrays exist to sum)
+        out = native.cigar_stats_raw(t)
+    else:
+        out = native.cigar_stats(len(t), t.ops, t.lens, t.off)
     if out is not None:
         keys = ("matches", "mismatches", "query_inserts", "query_deletes",
                 "query_insert_bases", "query_delete_bases")

@@ -214,3 +214,49 @@ def test_native_match_intervals_matches_numpy(monkeypatch):
     want = cov.match_intervals(t)
     for g, w in zip(got, want):
         assert np.array_equal(g, w)
+
+
+def test_cigar_stats_raw_matches_parsed(workload):
+    """Raw-text stats tokenizer must equal the parsed-CSR stats pass on
+    the same bytes (the raw-streaming filter path depends on this)."""
+    t, pool, _, _ = workload
+    from paffy_tpu.ops import transforms
+    from paffy_tpu.ops.mismatch import encode_mismatches
+    te = encode_mismatches(t, pool)
+    for table in (t, te):
+        data = bytes(pafio.serialize_paf_bytes(table))
+        t_raw = pafio.parse_paf_data(data, parse_cigars=False,
+                                     validate_cigars=True)
+        assert t_raw.raw_cg is not None
+        raw = native.cigar_stats_raw(t_raw)
+        full = native.cigar_stats(len(table), table.ops, table.lens,
+                                  table.off)
+        assert np.array_equal(raw, full)
+        # and through the ops layer
+        s_raw = transforms.stats_calc(t_raw)
+        s_full = transforms.stats_calc(table)
+        for k in s_full:
+            assert np.array_equal(s_raw[k], s_full[k]), k
+
+
+def test_paf_check_raw_spans():
+    """check_raw_spans restores the reference's cigar-span checks over
+    raw-cigar tables (dechunk parity, impl/paf_dechunk.c:114-116)."""
+    good = b"q\t100\t0\t10\t+\tt\t100\t0\t10\t10\t10\t60\tcg:Z:10M\n"
+    t = pafio.parse_paf_data(good, parse_cigars=False)
+    pafio.paf_check(t, check_raw_spans=True)  # passes
+    bad = good.replace(b"10M", b"9M")
+    tb = pafio.parse_paf_data(bad, parse_cigars=False)
+    pafio.paf_check(tb)  # raw default: span check skipped, like parse=0
+    with pytest.raises(pafio.PafCheckError):
+        pafio.paf_check(tb, check_raw_spans=True)
+
+
+def test_fasta_headers_matches_pack():
+    """Header-only FASTA read must agree with the packing reader on names
+    and trimmed sequence lengths (upconvert's interval source)."""
+    fa = (b">a desc\nACGT\nACG\n>b\n\n>c\nNNNN  \nACGT\n"
+          b"leading junk ignored\n>d\n  GG TT \n")
+    h = native.fasta_headers(fa)
+    p = native.fasta_pack_bytes(fa)
+    assert h == [(n, ln) for n, _off, ln in p[1]]
