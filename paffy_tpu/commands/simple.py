@@ -199,9 +199,17 @@ def trim_main(argv) -> int:
             t = trim_unreliable_tails(t, args.trimIdentity, args.trimFraction)
         else:
             t = tr.trim_end_fraction(t, args.trimFraction)
-        pafio.paf_check(t)
+        pafio.paf_check(t, check_raw_spans=True)
         return t
-    stream_transform(args, step)
+    # identity trim streams raw (kept cigars are substrings of the raw cg
+    # text — ops/tailtrim raw path); fixed trim rewrites op lengths, so it
+    # keeps the parsed path.  The reference parses + span-checks either
+    # way (paf_trim.c:116-124), hence validate + check_raw_spans.
+    if not args.fixedTrim:
+        stream_transform(args, step, parse_cigars=False,
+                         validate_cigars=True)
+    else:
+        stream_transform(args, step)
     timer.done()
     return 0
 

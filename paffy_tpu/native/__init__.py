@@ -167,6 +167,12 @@ def get_lib():
                                          ctypes.c_float, _I64P, _I64P,
                                          _I64P, _I64P, _I64P, _I64P,
                                          ctypes.c_longlong]
+        lib.trim_tails_raw.restype = None
+        lib.trim_tails_raw.argtypes = [ctypes.c_longlong, ctypes.c_char_p,
+                                       _I64P, _I64P, _U8P, ctypes.c_float,
+                                       ctypes.c_float, _I64P, _I64P, _I64P,
+                                       _I64P, _I64P, _I64P,
+                                       ctypes.c_longlong]
         lib.copy_op_ranges.restype = None
         lib.copy_op_ranges.argtypes = [ctypes.c_longlong, _I64P, _I64P,
                                        _I64P, _U8P, _I64P, _U8P, _I64P,
@@ -672,6 +678,34 @@ def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim,
         else _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
         _p_i64(out))
     return out
+
+
+def trim_tails_raw(t, score_fraction, max_fraction,
+                   n_threads: int | None = None):
+    """Unreliable-tail trim over a RAW-cigar table: the kept cigar is a
+    contiguous byte subrange of the input cg text, so this returns
+    (cg_a, cg_n, dq1, dt1, dq2, dt2) with no op arrays built — or None
+    without a toolchain / non-raw table."""
+    lib = get_lib()
+    if lib is None or t.raw_cg is None:
+        return None
+    raw_buf, cg_start, cg_len = t.raw_cg
+    n = len(cg_start)
+    cg_a = np.empty(n, dtype=np.int64)
+    cg_n = np.empty(n, dtype=np.int64)
+    dq1 = np.empty(n, dtype=np.int64)
+    dt1 = np.empty(n, dtype=np.int64)
+    dq2 = np.empty(n, dtype=np.int64)
+    dt2 = np.empty(n, dtype=np.int64)
+    lib.trim_tails_raw(
+        n, raw_buf,
+        _p_i64(np.ascontiguousarray(cg_start, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(cg_len, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(t.strand, dtype=np.uint8)),
+        ctypes.c_float(score_fraction), ctypes.c_float(max_fraction),
+        _p_i64(cg_a), _p_i64(cg_n), _p_i64(dq1), _p_i64(dt1),
+        _p_i64(dq2), _p_i64(dt2), _default_threads(n_threads))
+    return cg_a, cg_n, dq1, dt1, dq2, dt2
 
 
 def trim_tails_apply(off, ops, lens, strand, score_fraction, max_fraction,

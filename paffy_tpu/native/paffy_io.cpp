@@ -1449,6 +1449,103 @@ void trim_tails_apply(long long n_records, const long long* off,
     for (auto& t : th) t.join();
 }
 
+// Whole-batch unreliable-tail trim over RAW cigar text: tokenize each
+// record's cg:Z bytes into per-thread scratch, run the exact
+// trim_tails_apply decision pair (same float arithmetic, same strand
+// quirk), and report the KEPT text as a byte subrange of the input —
+// trim only ever drops whole ops from the ends, so the kept cigar is a
+// contiguous substring and no text is rewritten.  Outputs: new cg byte
+// range [cg_a, cg_a+cg_n) and the four dropped-base sums for the
+// caller's strand-aware coordinate updates (paf_trim_unreliable_tails,
+// impl/paf.c:811-953; paf_trim.c reads with parse_cigar=1 and
+// re-serializes, which the raw-mode serializer reproduces).
+void trim_tails_raw(long long n_records, const char* buf,
+                    const long long* cg_start, const long long* cg_len,
+                    const unsigned char* strand,  // 1 iff '+'
+                    float score_fraction, float max_fraction,
+                    long long* cg_a, long long* cg_n,
+                    long long* dq1, long long* dt1,
+                    long long* dq2, long long* dt2,
+                    long long n_threads) {
+    auto work = [&](long long r0, long long r1) {
+        std::vector<unsigned char> ops_s;
+        std::vector<long long> lens_s, tok_s;
+        for (long long r = r0; r < r1; ++r) {
+            const char* p = buf + cg_start[r];
+            const char* e = p + cg_len[r];
+            ops_s.clear(); lens_s.clear(); tok_s.clear();
+            long long tot_m = 0, tot_mm = 0;
+            while (p < e) {
+                tok_s.push_back(p - (buf + cg_start[r]));
+                long long L = 0;
+                while (p < e && *p >= '0' && *p <= '9')
+                    L = L * 10 + (*p++ - '0');
+                if (p >= e) break;
+                const char c = *p++;
+                unsigned char op = 0;
+                switch (c) {
+                    case 'M': op = 0; break;
+                    case 'I': op = 1; break;
+                    case 'D': op = 2; break;
+                    case '=': op = 3; break;
+                    case 'X': op = 4; break;
+                }
+                ops_s.push_back(op);
+                lens_s.push_back(L);
+                if (op == 0 || op == 3) tot_m += L; else tot_mm += L;
+            }
+            tok_s.push_back(cg_len[r]);
+            const long long n = (long long)ops_s.size();
+            const long long cols = tot_m + tot_mm;
+            const float i_ = (float)tot_m / (float)cols;  // NaN if cols==0
+            const float t_ =
+                (float)((double)i_ - (double)i_ * (double)score_fraction);
+            const long long mt =
+                (long long)truncf((float)cols * max_fraction);
+            const unsigned char* ops = ops_s.data();
+            const long long* lens = lens_s.data();
+            const long long tc1 =
+                trim_decide_dir(ops, lens, 0, 1, n, t_, i_, mt);
+            long long q1 = 0, t1 = 0;
+            for (long long k = 0; k < tc1; ++k) {
+                if (ops[k] != 2) q1 += lens[k];
+                if (ops[k] != 1) t1 += lens[k];
+            }
+            long long tc2, keep_a, keep_b, a2, b2;
+            if (strand[r]) {
+                tc2 = trim_decide_dir(ops, lens, tc1, 1, n - tc1, t_, i_,
+                                      mt);
+                keep_a = tc1 + tc2; keep_b = n;
+                a2 = tc1; b2 = tc1 + tc2;
+            } else {
+                tc2 = trim_decide_dir(ops, lens, n - 1, -1, n - tc1, t_, i_,
+                                      mt);
+                keep_a = tc1; keep_b = n - tc2;
+                a2 = n - tc2; b2 = n;
+            }
+            long long q2 = 0, t2 = 0;
+            for (long long k = a2; k < b2; ++k) {
+                if (ops[k] != 2) q2 += lens[k];
+                if (ops[k] != 1) t2 += lens[k];
+            }
+            cg_a[r] = cg_start[r] + tok_s[keep_a];
+            cg_n[r] = tok_s[keep_b] - tok_s[keep_a];
+            dq1[r] = q1; dt1[r] = t1; dq2[r] = q2; dt2[r] = t2;
+        }
+    };
+    if (n_threads <= 1 || n_records < 1024) {
+        work(0, n_records);
+        return;
+    }
+    std::vector<std::thread> th;
+    for (long long s = 0; s < n_threads; ++s) {
+        const long long r0 = n_records * s / n_threads;
+        const long long r1 = n_records * (s + 1) / n_threads;
+        th.emplace_back(work, r0, r1);
+    }
+    for (auto& t : th) t.join();
+}
+
 // Gather contiguous op ranges [a[r], b[r]) into a compact CSR whose record
 // offsets are new_off (caller-cumsummed from b-a) — one memcpy pair per
 // record, threaded over records.  Generic CSR-rebuild helper (trim, and any

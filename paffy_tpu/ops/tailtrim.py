@@ -144,9 +144,39 @@ def _trim_upto(t: PafTable, trim_count: np.ndarray) -> PafTable:
 def trim_unreliable_tails(t: PafTable, score_fraction: float,
                           max_fraction_to_trim: float) -> PafTable:
     """paf_trim_unreliable_tails over a whole batch (impl/paf.c:906-953)."""
-    if len(t) == 0 or len(t.ops) == 0:
+    if len(t) == 0 or (len(t.ops) == 0 and t.raw_cg is None):
         return t
     from paffy_tpu import native
+    if not FORCE_NUMPY and t.raw_cg is not None:
+        # raw-cigar streaming path: trim only drops whole ops from the
+        # ends, so each record's kept cigar is a contiguous SUBSTRING of
+        # its raw cg text — one tokenizing sweep rewrites the cg byte
+        # ranges in place of a parse + CSR rebuild + re-render
+        # (paf_trim.c reads with parse_cigar=1; canonical text round-trips
+        # byte-identically, and the raw parser's validate pass falls back
+        # to full parse on non-canonical input upstream).
+        res = native.trim_tails_raw(t, score_fraction,
+                                    max_fraction_to_trim)
+        if res is not None:
+            cg_a, cg_n, dq1, dt1, dq2, dt2 = res
+            raw_buf, cg_start, cg_len = t.raw_cg
+            if (np.array_equal(cg_a, cg_start)
+                    and np.array_equal(cg_n, cg_len)):
+                return t  # nothing trimmed anywhere in the batch
+            return replace(
+                t,
+                qstart=t.qstart + np.where(t.strand, dq1, 0) + dq2,
+                qend=t.qend - np.where(t.strand, 0, dq1),
+                tstart=t.tstart + dt1 + np.where(t.strand, dt2, 0),
+                tend=t.tend - np.where(t.strand, 0, dt2),
+                raw_cg=(raw_buf, cg_a, cg_n))
+    if t.raw_cg is not None:
+        # raw table but the raw fast path was unavailable (FORCE_NUMPY /
+        # no toolchain): materialize the op arrays and continue below
+        from paffy_tpu.core import pafio
+        t = pafio.parse_paf_data(bytes(pafio.serialize_paf_bytes(t)))
+        if len(t.ops) == 0:
+            return t
     if not FORCE_NUMPY and native.get_lib() is not None:
         # production path: identity stats, both decisions AND the apply in
         # one threaded native sweep.  The suffix decision runs on the

@@ -260,3 +260,30 @@ def test_fasta_headers_matches_pack():
     h = native.fasta_headers(fa)
     p = native.fasta_pack_bytes(fa)
     assert h == [(n, ln) for n, _off, ln in p[1]]
+
+
+def test_trim_tails_raw_matches_parsed():
+    """The raw-substring trim must serialize byte-identically to the
+    parsed CSR trim across parameters, strands and pathological cigars."""
+    from paffy_tpu.ops.tailtrim import trim_unreliable_tails
+    from synthdata import make_workload
+    _, lines = make_workload(seed=77, length=30000, n_windows=30,
+                             window=3000, step=1100)
+    # add cigarless + single-op + all-indel edge records
+    lines = list(lines) + [
+        "q0\t50\t0\t10\t+\tt0\t60\t5\t15\t10\t10\t0",
+        "q1\t50\t0\t7\t-\tt1\t60\t5\t12\t7\t7\t0\tcg:Z:7M",
+        "q2\t50\t0\t4\t+\tt2\t60\t5\t13\t4\t12\tcg:Z:4I8D"
+        .replace("\t4\t12\t", "\t4\t12\t0\t"),
+    ]
+    data = ("\n".join(lines) + "\n").encode()
+    for sf, mf in ((0.05, 1.0), (0.5, 0.5), (0.0, 0.1)):
+        t_raw = pafio.parse_paf_data(data, parse_cigars=False,
+                                     validate_cigars=True)
+        assert t_raw.raw_cg is not None
+        t_full = pafio.parse_paf_data(data)
+        a = bytes(pafio.serialize_paf_bytes(
+            trim_unreliable_tails(t_raw, sf, mf)))
+        b = bytes(pafio.serialize_paf_bytes(
+            trim_unreliable_tails(t_full, sf, mf)))
+        assert a == b, (sf, mf)
