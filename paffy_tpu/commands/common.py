@@ -133,15 +133,34 @@ def stream_tables(args, batch_bytes: int | None = None,
     fh = open_input_binary(args)
 
     def parse(data):
-        return pafio.parse_paf_data(data, parse_cigars=parse_cigars,
-                                    validate_cigars=validate_cigars)
+        # On a malformed line, first yield the records BEFORE it (the
+        # reference parses and writes record-at-a-time, so everything
+        # before the bad line reaches the output before it aborts) —
+        # delivered by re-parsing the clean prefix, then re-raising.
+        try:
+            return pafio.parse_paf_data(data, parse_cigars=parse_cigars,
+                                        validate_cigars=validate_cigars), None
+        except pafio.PafFormatError as e:
+            if not e.line_no or e.line_no <= 1:
+                raise
+            off = 0
+            for _ in range(e.line_no - 1):
+                off = data.index(b"\n", off) + 1
+            if off == 0:
+                raise
+            return pafio.parse_paf_data(data[:off],
+                                        parse_cigars=parse_cigars,
+                                        validate_cigars=validate_cigars), e
     try:
         leftover = b""
         while True:
             chunk = fh.read(bb)
             if not chunk:
                 if leftover:
-                    yield parse(leftover)
+                    t, err = parse(leftover)
+                    yield t
+                    if err is not None:
+                        raise err
                 return
             chunk = leftover + chunk
             cut = chunk.rfind(b"\n")
@@ -149,9 +168,23 @@ def stream_tables(args, batch_bytes: int | None = None,
                 leftover = chunk
                 continue
             leftover = chunk[cut + 1:]
-            yield parse(chunk[: cut + 1])
+            t, err = parse(chunk[: cut + 1])
+            yield t
+            if err is not None:
+                raise err
     finally:
         close_input_binary(fh)
+
+
+def write_check_prefix(out, e) -> None:
+    """Before a PafCheckError propagates, emit the records preceding the
+    bad one — the reference checks and writes record-at-a-time, so they
+    reach the output before it aborts.  The error's ``table`` is the table
+    the failing paf_check ran on (i.e. what would have been written)."""
+    import numpy as np
+    if getattr(e, "table", None) is not None and e.record_index:
+        out.write(pafio.serialize_paf_bytes(
+            e.table.take(np.arange(e.record_index))))
 
 
 def stream_transform(args, fn, **stream_kw):
@@ -161,7 +194,11 @@ def stream_transform(args, fn, **stream_kw):
     out = open_output_binary(args)
     try:
         for t in stream_tables(args, **stream_kw):
-            res = fn(t)
+            try:
+                res = fn(t)
+            except pafio.PafCheckError as e:
+                write_check_prefix(out, e)
+                raise
             if res is not None and len(res):
                 out.write(pafio.serialize_paf_bytes(res))
     finally:

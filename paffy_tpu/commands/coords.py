@@ -9,6 +9,7 @@ from dataclasses import replace
 import numpy as np
 
 from paffy_tpu.commands.common import (base_parser, start, read_table,
+                                        write_check_prefix,
                                         write_table, open_input, open_output,
                                         open_output_binary, close_output_binary,
                                         stream_tables)
@@ -62,7 +63,11 @@ def dechunk_main(argv) -> int:
             if fix_target:
                 tn, ts, te, tl = _dechunk_side(t.tname, t.tstart, t.tend, t.tlen)
                 t = replace(t, tname=tn, tstart=ts, tend=te, tlen=tl)
-            pafio.paf_check(t, check_raw_spans=True)
+            try:
+                pafio.paf_check(t, check_raw_spans=True)
+            except pafio.PafCheckError as e:
+                write_check_prefix(out, e)
+                raise
             out.write(pafio.serialize_paf_bytes(t))
     finally:
         close_output_binary(out)
@@ -155,7 +160,11 @@ def upconvert_main(argv) -> int:
                                              t.tend, t.tlen)
             t = replace(t, qname=qn, qstart=qs, qend=qe, qlen=ql,
                         tname=tn, tstart=ts, tend=te, tlen=tl)
-            pafio.paf_check(t)
+            try:
+                pafio.paf_check(t)
+            except pafio.PafCheckError as e:
+                write_check_prefix(out, e)
+                raise
             out.write(pafio.serialize_paf_bytes(t))
     finally:
         close_output_binary(out)
@@ -186,10 +195,11 @@ def split_file_main(argv) -> int:
     state = {"small_idx": 0, "small_total": 0, "small_path": None}
     total = 0
     try:
-        # raw-cigar streaming: split_file only demuxes by name; cigars are
-        # re-emitted verbatim (validated — the reference parses them)
-        for t in stream_tables(args, parse_cigars=False,
-                               validate_cigars=True):
+        # raw-cigar streaming, UNVALIDATED: the reference reads with
+        # parse_cigar=0 (impl/paf_split_file.c:142) and never inspects or
+        # checks the cg tag — malformed/non-canonical text demuxes
+        # verbatim, and so must ours
+        for t in stream_tables(args, parse_cigars=False):
             total += len(t)
             names = t.qname if args.query else t.tname
             lengths = t.qlen if args.query else t.tlen

@@ -28,7 +28,8 @@ def invert_main(argv) -> int:
     timer = start(args, "Paf invert")
     from paffy_tpu.commands.common import (open_output_binary,
                                            close_output_binary,
-                                           stream_tables)
+                                           stream_tables,
+                                           write_check_prefix)
     from paffy_tpu import native
     out = open_output_binary(args)
     try:
@@ -45,11 +46,23 @@ def invert_main(argv) -> int:
                 continue
             done = None
             if t.raw_cg is not None:
-                pafio.paf_check(t)   # bounds; q/t-symmetric == post-invert
+                try:
+                    pafio.paf_check(t)  # bounds; q/t-symmetric == post-invert
+                except pafio.PafCheckError as e:
+                    # emit the INVERTED records before the bad one (the
+                    # reference inverts, checks and writes record-at-a-time)
+                    if e.record_index:
+                        native.invert_serialize(
+                            t.take(np.arange(e.record_index)), fh=out)
+                    raise
                 done = native.invert_serialize(t, fh=out)
             if done is None:
-                t = tr.invert(t)
-                pafio.paf_check(t)
+                try:
+                    t = tr.invert(t)
+                    pafio.paf_check(t)
+                except pafio.PafCheckError as e:
+                    write_check_prefix(out, e)
+                    raise
                 out.write(pafio.serialize_paf_bytes(t))
     finally:
         close_output_binary(out)
@@ -96,17 +109,31 @@ def dedupe_main(argv) -> int:
     state = DedupeState(args.checkInverse)
 
     def step(t):
-        keep = state.process(t)
+        keep, checked = state.process(t)
+        if args.checkInverse and checked is not None and checked.any():
+            # the reference coordinate-checks exactly the records whose
+            # DIRECT probe against the kept hash missed (paf_check after
+            # the inverse probe, impl/paf_dedupe.c:120-124; cigar==NULL
+            # under its parse_cigar=0 read, so spans are never checked)
+            try:
+                pafio.paf_check(t, idx=np.nonzero(checked)[0])
+            except pafio.PafCheckError as e:
+                # before aborting, the reference has written the KEPT
+                # records preceding the bad one — reshape the error's
+                # prefix accordingly for the generic prefix writer
+                if e.record_index is not None:
+                    pre = t.take(keep & (np.arange(len(t)) < e.record_index))
+                    e.table, e.record_index = pre, len(pre)
+                raise
         if debug_enabled():
             for i in np.nonzero(~keep)[0]:
                 log_debug("Got duplicate pafs:")
                 log_debug("\t\tdupe (1) - : %s", pafio.format_record(t, i))
         return t.take(keep)
-    # raw-cigar streaming: dedupe keys on coordinates only, so the cg tag
-    # is re-emitted verbatim; validate_cigars keeps the reference parser's
-    # reject/canonicalize behavior (the reference fully parses cigars it
-    # never reads, impl/paf_dedupe.c + impl/paf.c:70-111)
-    stream_transform(args, step, parse_cigars=False, validate_cigars=True)
+    # raw-cigar streaming, UNVALIDATED: the reference reads with
+    # parse_cigar=0 (impl/paf_dedupe.c:117), so any cg tag text — even
+    # malformed or non-canonical — passes through verbatim, and so must we
+    stream_transform(args, step, parse_cigars=False)
     timer.done()
     return 0
 
@@ -129,10 +156,13 @@ class DedupeState:
         self.name_id: dict[str, int] = {}
         self.seen = None   # sorted structured array of kept keys (all batches)
 
-    def process(self, t) -> np.ndarray:
+    def process(self, t):
+        """Returns (keep_mask, checked_mask): keep = not a duplicate;
+        checked = the records the reference would paf_check under -a
+        (direct probe against the KEPT hash missed), None without -a."""
         n = len(t)
         if n == 0:
-            return np.zeros(0, dtype=bool)
+            return np.zeros(0, dtype=bool), None
         # name -> id via one vectorized unique pass; only DISTINCT names
         # touch the Python dict (ids must stay stable across batches, so the
         # dict remains the global assigner).  The per-record setdefault loop
@@ -173,7 +203,16 @@ class DedupeState:
             hit = uniq[pos_c] == ivoid
             dup |= hit & (first[pos_c] < np.arange(n))
             dup |= probe_seen(ivoid)
-        dup |= probe_seen(void)
+        seen_direct = probe_seen(void)
+        dup |= seen_direct
+        checked = None
+        if self.check_inverse:
+            # the reference paf_checks a record iff its DIRECT probe against
+            # the kept hash misses (impl/paf_dedupe.c:120-124): i.e. unless
+            # an earlier KEPT record carries the same key (an earlier
+            # inverse-dropped twin does not populate the hash)
+            f = first[inv]
+            checked = ~(seen_direct | ((f < np.arange(n)) & ~dup[f]))
         new = np.sort(void[~dup])   # batch first-occurrences, sorted
         if self.seen is None:
             self.seen = new
@@ -183,7 +222,7 @@ class DedupeState:
             # cumulative re-sort dominated the per-batch work)
             self.seen = np.insert(self.seen,
                                   np.searchsorted(self.seen, new), new)
-        return ~dup
+        return ~dup, checked
 
 
 def trim_main(argv) -> int:
@@ -298,7 +337,21 @@ def add_mismatches_main(argv) -> int:
             # so cigar spans (and every other checked field) are preserved
             # exactly and the accept/reject decision matches the
             # reference's check-after-encode (impl/paf_add_mismatches.c:133)
-            pafio.paf_check(t)
+            try:
+                pafio.paf_check(t)
+            except pafio.PafCheckError as e:
+                # the reference encodes and writes record-at-a-time, so
+                # the ENCODED records before the bad one precede the abort
+                if e.record_index:
+                    pre = t.take(np.arange(e.record_index))
+                    if native.encode_serialize(
+                            pre, pool.host_pool,
+                            pool.offsets_for(pre.qname, "query"),
+                            pool.offsets_for(pre.tname, "target"),
+                            fh=out) is None:
+                        out.write(pafio.serialize_paf_bytes(
+                            encode_mismatches(pre, pool)))
+                raise
             # fused native encode+serialize: M->=/X runs emitted straight
             # as output line text (no intermediate =/X CSR arrays),
             # streamed to the output in reused buffer slices

@@ -29,7 +29,15 @@ _CIGAR_RE = re.compile(r"(\d+)([MIDX=])")
 
 
 class PafFormatError(ValueError):
-    pass
+    """Malformed PAF input.  ``line_no`` (when known) is the 1-based line
+    number within the data passed to the failing parse call, letting
+    streaming callers emit the records before it (the reference parses and
+    writes record-at-a-time, so everything before the bad line reaches the
+    output before it aborts)."""
+
+    def __init__(self, msg, line_no=None):
+        super().__init__(msg)
+        self.line_no = line_no
 
 
 def parse_cigar_string(s: str) -> list[tuple[int, int]]:
@@ -101,7 +109,7 @@ def _parse_native_raw(data: bytes,
     try:
         res = native.parse_paf_bytes_raw(data, validate_cigars)
     except native.NativeParseError as e:
-        raise PafFormatError(str(e)) from e
+        raise PafFormatError(str(e), getattr(e, "line_no", None)) from e
     if res is None or res == "noncanon":
         return None
     ints, flags, rtype, qnames, tnames, cg_start, cg_len = res
@@ -128,7 +136,7 @@ def _parse_native(data: bytes) -> PafTable | None:
     try:
         res = native.parse_paf_bytes(data)
     except native.NativeParseError as e:
-        raise PafFormatError(str(e)) from e
+        raise PafFormatError(str(e), getattr(e, "line_no", None)) from e
     if res is None:
         return None
     ints, flags, rtype, qnames, tnames, ops, lens, off = res
@@ -319,7 +327,16 @@ def write_paf_file(t: PafTable, path_or_file) -> None:
 
 
 class PafCheckError(ValueError):
-    pass
+    """A record failed paf_check.  ``table``/``record_index`` identify the
+    first bad record within the checked table, letting streaming callers
+    emit the records before it — the reference checks and writes
+    record-at-a-time, so everything before the bad record reaches the
+    output before it aborts (e.g. impl/paf_trim.c:116-126)."""
+
+    def __init__(self, msg, table=None, record_index=None):
+        super().__init__(msg)
+        self.table = table
+        self.record_index = record_index
 
 
 def paf_check(t: PafTable, idx=None, check_raw_spans: bool = False) -> None:
@@ -338,24 +355,24 @@ def paf_check(t: PafTable, idx=None, check_raw_spans: bool = False) -> None:
     n = len(t)
     if n == 0:
         return
-    def raw_span_check():
-        # after the coordinate checks, as in the reference's check order
+    def raw_span_first_bad():
+        """(record, code) of the first raw-cigar span mismatch, or (-1, -1).
+        The q-axis check precedes the t-axis check per record, as in the
+        reference (impl/paf.c:448-458)."""
         if not (check_raw_spans and t.raw_cg is not None and idx is None):
-            return
+            return -1, -1
         from paffy_tpu import native
         st = native.cigar_stats_raw(t)
         if st is None:
-            return
+            return -1, -1
         aligned = st[:, 0] + st[:, 1]          # M/= + X
-        qs = aligned + st[:, 4]                # + insert bases
-        ts = aligned + st[:, 5]                # + delete bases
-        s = np.arange(n)
-        bad = t.has_cigar & (qs != (t.qend - t.qstart))
-        _raise_first(t, s, bad,
-                     "Paf cigar alignment does not match query length")
-        bad = t.has_cigar & (ts != (t.tend - t.tstart))
-        _raise_first(t, s, bad,
-                     "Paf cigar alignment does not match target length")
+        qbad = t.has_cigar & ((aligned + st[:, 4]) != (t.qend - t.qstart))
+        tbad = t.has_cigar & ((aligned + st[:, 5]) != (t.tend - t.tstart))
+        either = np.nonzero(qbad | tbad)[0]
+        if len(either) == 0:
+            return -1, -1
+        i = int(either[0])
+        return i, (4 if qbad[i] else 5)
 
     if idx is None:
         # production path: one native pass (same checks, same first-record
@@ -364,6 +381,11 @@ def paf_check(t: PafTable, idx=None, check_raw_spans: bool = False) -> None:
         res = native.paf_check_batch(t)
         if res is not None:
             bad, code = res
+            sbad, scode = raw_span_first_bad()
+            # first bad RECORD wins; at the same record coordinate checks
+            # precede span checks (the reference checks per record in order)
+            if sbad >= 0 and (bad < 0 or sbad < bad):
+                bad, code = sbad, scode
             if bad >= 0:
                 msgs = ("Paf query start coordinates are invalid",
                         "Paf query end coordinates are invalid",
@@ -371,8 +393,8 @@ def paf_check(t: PafTable, idx=None, check_raw_spans: bool = False) -> None:
                         "Paf target end coordinates are invalid",
                         "Paf cigar alignment does not match query length",
                         "Paf cigar alignment does not match target length")
-                raise PafCheckError(f"{msgs[code]}, {format_record(t, bad)}")
-            raw_span_check()
+                raise PafCheckError(f"{msgs[code]}, {format_record(t, bad)}",
+                                    table=t, record_index=bad)
             return
     sel = np.arange(n) if idx is None else np.asarray(idx)
     bad = (t.qstart[sel] < 0) | (t.qstart[sel] >= t.qlen[sel])
@@ -395,10 +417,16 @@ def paf_check(t: PafTable, idx=None, check_raw_spans: bool = False) -> None:
         _raise_first(t, sel, bad, "Paf cigar alignment does not match query length")
         bad = t.has_cigar[sel] & (ts[sel] != (t.tend[sel] - t.tstart[sel]))
         _raise_first(t, sel, bad, "Paf cigar alignment does not match target length")
-    raw_span_check()
+    sbad, scode = raw_span_first_bad()
+    if sbad >= 0:
+        msg = ("Paf cigar alignment does not match query length" if scode == 4
+               else "Paf cigar alignment does not match target length")
+        raise PafCheckError(f"{msg}, {format_record(t, sbad)}",
+                            table=t, record_index=sbad)
 
 
 def _raise_first(t, sel, bad, msg):
     if bad.any():
         i = int(sel[np.nonzero(bad)[0][0]])
-        raise PafCheckError(f"{msg}, {format_record(t, i)}")
+        raise PafCheckError(f"{msg}, {format_record(t, i)}",
+                            table=t, record_index=i)

@@ -265,7 +265,15 @@ def _p_u8(a: np.ndarray):
 
 
 class NativeParseError(ValueError):
-    pass
+    """Malformed PAF input.  ``line_no`` is the 1-based line number WITHIN
+    the data passed to the failing parse call (range-local), letting
+    streaming callers emit the records before it — the reference parses
+    and writes record-at-a-time, so everything before the bad line reaches
+    the output before it aborts (paf_parse, impl/paf.c:137-209)."""
+
+    def __init__(self, msg, line_no=None):
+        super().__init__(msg)
+        self.line_no = line_no
 
 
 _PARSE_MT_BYTES = 4 << 20   # thread the parse above 4 MB of input
@@ -296,7 +304,7 @@ def parse_paf_bytes(data: bytes, n_threads: int | None = None):
                              _p_i64(s_rec), _p_i64(s_ops), _p_i64(s_names),
                              _p_i64(s_lines))
         if rc != 0:
-            raise NativeParseError(f"malformed PAF at line {rc}")
+            raise NativeParseError(f"malformed PAF at line {rc}", rc)
         n, t_ops, nb = int(s_rec.sum()), int(s_ops.sum()), int(s_names.sum())
     else:
         n_rec = ctypes.c_longlong()
@@ -305,7 +313,7 @@ def parse_paf_bytes(data: bytes, n_threads: int | None = None):
         rc = lib.paf_scan(data, len(data), ctypes.byref(n_rec),
                           ctypes.byref(n_ops), ctypes.byref(name_bytes))
         if rc != 0:
-            raise NativeParseError(f"malformed PAF at line {rc}")
+            raise NativeParseError(f"malformed PAF at line {rc}", rc)
         n, t_ops, nb = n_rec.value, n_ops.value, name_bytes.value
     ints = np.empty((n, 13), dtype=np.int64)
     flags = np.empty(n, dtype=np.uint8)
@@ -334,7 +342,7 @@ def parse_paf_bytes(data: bytes, n_threads: int | None = None):
                           pool.ctypes.data_as(ctypes.c_char_p),
                           _p_u8(ops), _p_i64(lens), _p_i64(off))
     if rc != 0:
-        raise NativeParseError(f"malformed PAF at line {rc}")
+        raise NativeParseError(f"malformed PAF at line {rc}", rc)
     raw = pool.tobytes()
     qnames = np.empty(n, dtype=object)
     tnames = np.empty(n, dtype=object)
@@ -370,7 +378,7 @@ def parse_paf_bytes_raw(data: bytes, validate_cigars: bool = False):
     rc = lib.paf_scan_raw(data, len(data), ctypes.byref(n_rec),
                           ctypes.byref(name_bytes))
     if rc != 0:
-        raise NativeParseError(f"malformed PAF at line {rc}")
+        raise NativeParseError(f"malformed PAF at line {rc}", rc)
     n, nb = n_rec.value, name_bytes.value
     ints = np.empty((n, 13), dtype=np.int64)
     flags = np.empty(n, dtype=np.uint8)
@@ -387,7 +395,7 @@ def parse_paf_bytes_raw(data: bytes, validate_cigars: bool = False):
                           _p_i64(cg_start), _p_i64(cg_len),
                           1 if validate_cigars else 0, _p_i64(noncanon))
     if rc != 0:
-        raise NativeParseError(f"malformed PAF at line {rc}")
+        raise NativeParseError(f"malformed PAF at line {rc}", rc)
     if validate_cigars and noncanon[0]:
         return "noncanon"
     raw = pool.tobytes()
@@ -1054,7 +1062,17 @@ def _stream_two_phase(out_off, fh, fill_range, n):
         if size > len(buf):   # one record larger than the chunk
             buf = np.empty(size, dtype=np.uint8)
         rebased = np.ascontiguousarray(out_off[r0: r1 + 1] - out_off[r0])
-        fill_range(r0, r1, rebased, buf)
+        try:
+            fill_range(r0, r1, rebased, buf)
+        except ValueError as e:
+            # record-level failure mid-fill: the fill threads complete
+            # every record regardless, so the bytes before the bad record
+            # are valid — emit them (the reference writes record-at-a-time
+            # and aborts at the bad one), then propagate
+            part = getattr(e, "partial_bytes", None)
+            if part:
+                fh.write(memoryview(buf.data)[:int(part)])
+            raise
         fh.write(memoryview(buf.data)[:size])
         r0 = r1
 
@@ -1106,9 +1124,11 @@ def invert_serialize(t, n_threads: int | None = None, fh=None):
             raise RuntimeError("invert_serialize_fill drift/malformed")
         if rc >= 0:
             from paffy_tpu.core.pafio import PafCheckError
-            raise PafCheckError(
+            e = PafCheckError(
                 "Paf cigar alignment does not match query/target length "
                 f"(record {r0 + rc})")
+            e.partial_bytes = int(oo[rc])  # valid bytes before the record
+            raise e
     if fh is not None:
         _stream_two_phase(out_off, fh, fill, n)
         return True

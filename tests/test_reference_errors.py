@@ -84,3 +84,34 @@ def test_missing_sequence_parity(ref, tmp_path):
 def test_unknown_subcommand_parity(ref):
     assert rc_theirs(ref["paffy"], ["frobnicate"]) != 0
     assert rc_ours("paffy", ["frobnicate"]) != 0
+
+
+GOOD2 = GOOD
+BAD_SPAN2 = GOOD.replace(b"10M", b"9M")
+CASES_PARTIAL = [
+    ("dup_badcoord", GOOD + BAD_COORD.replace(b"q\t", b"r\t")),
+    ("dup_badspan", GOOD + BAD_SPAN2.replace(b"q\t", b"r\t")),
+    ("dup_badchr", GOOD + BAD_CIGAR_CHAR.replace(b"q\t", b"r\t")),
+    ("lead0", GOOD.replace(b"10M", b"010M")),
+    ("badchr_alone", BAD_CIGAR_CHAR),
+]
+RAW_CMDS = [["dedupe"], ["dedupe", "-a"], ["invert"], ["trim"],
+            ["filter"], ["upconvert"]]
+
+
+@pytest.mark.parametrize("label,data", CASES_PARTIAL)
+@pytest.mark.parametrize("cmd", RAW_CMDS, ids=lambda c: "_".join(c))
+def test_partial_output_and_weird_cigar_parity(ref, label, data, cmd):
+    """Error-path BYTE parity, not just rc parity: the reference processes
+    record-at-a-time, so good records before a bad one reach the output
+    before it aborts; parse_cigar=0 commands (dedupe, upconvert) pass even
+    malformed cg text through verbatim while parse=1 commands reject or
+    canonicalize it.  stdout must match byte-for-byte in ALL cases."""
+    import os
+    env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
+    a = subprocess.run([ref["paffy"], *cmd], input=data,
+                       capture_output=True, timeout=120, env=env)
+    b = subprocess.run([str(REPO / "bin" / "paffy"), *cmd], input=data,
+                       capture_output=True, timeout=600, env=env)
+    assert (a.returncode == 0) == (b.returncode == 0), (label, cmd)
+    assert a.stdout == b.stdout, (label, cmd)
