@@ -49,6 +49,13 @@ def tile_main(argv) -> int:
     args = p.parse_args(argv)
     timer = start(args, "Paffy tile")
     t = read_table(args)
+    # the reference's coverage walk asserts (column bounds, end-of-walk,
+    # per-name qlen consistency) fire before any output is written — tile
+    # buffers everything until write_pafs (impl/paf_tile.c:150-180)
+    bad = tr.query_walk_violation(t, {})
+    if bad >= 0:
+        raise pafio.PafCheckError(
+            f"tile: invalid record, {pafio.format_record(t, bad)}")
     order = tile_sort_order(t)
     levels = assign_tile_levels(t, order)
     t = replace(t, tile_level=levels)
@@ -72,10 +79,32 @@ def to_bed_main(argv) -> int:
     args = p.parse_args(argv)
     timer = start(args, "Paffy to_bed")
     cm = CoverageMap()
+    seen_qlens: dict = {}
     for t in stream_tables(args):
+        # reference asserts fire before write_bed emits anything
+        # (impl/paf.c:691-709; with -n the flipped records walk the same
+        # shared count-array hash, so names and lengths mix)
+        bad = tr.query_walk_violation(t, seen_qlens)
+        if bad >= 0:
+            raise pafio.PafCheckError(
+                f"to_bed: invalid record, {pafio.format_record(t, bad)}")
+        if args.includeInverted:
+            # the reference registers each record's query array, then its
+            # flipped target array, record by record — pre-register names
+            # in that interleaved first-seen order so write_bed's row
+            # order matches (impl/paf_to_bed.c:173-183)
+            for i in range(len(t)):
+                cm._get(t.qname[i], t.qlen[i])
+                cm._get(t.tname[i], t.tlen[i])
         cm.add(t)
         if args.includeInverted:
-            cm.add(tr.invert(t))
+            ti = tr.invert(t)
+            bad = tr.query_walk_violation(ti, seen_qlens)
+            if bad >= 0:
+                raise pafio.PafCheckError(
+                    f"to_bed: invalid inverted record, "
+                    f"{pafio.format_record(ti, bad)}")
+            cm.add(ti)
     out = open_output(args)
     try:
         # rows per sequence in first-seen order (the reference iterates its

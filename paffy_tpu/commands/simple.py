@@ -84,9 +84,20 @@ def shatter_main(argv) -> int:
         for t in stream_tables(args):
             if not len(t):
                 continue
-            if np.any((t.ops == SEQ_MATCH) | (t.ops == SEQ_MISMATCH)):
-                raise ValueError(
-                    "paf shatter requires M-encoded cigars (no =/X runs)")
+            # the reference's shatter walk asserts per op (length >= 1,
+            # no =/X) and per record (walk ends on the end coordinates),
+            # and paf_checks every shard it builds: assert failures abort
+            # with the batch's stdio buffer lost, shard-check failures
+            # errAbort with the PRIOR records' shards flushed
+            # (impl/paf.c:600-663, ops/transforms.shatter_violation)
+            kind, rec = tr.shatter_violation(t)
+            if kind == "check" and rec > 0:
+                pre = t.take(np.arange(rec))
+                if native.shatter_serialize(pre, fh=out) is None:
+                    out.write(pafio.serialize_paf_bytes(tr.shatter(pre)))
+            if kind is not None:
+                raise pafio.PafCheckError(
+                    f"shatter: invalid record, {pafio.format_record(t, rec)}")
             # fused native shatter+serialize: each M run's line emitted
             # straight from the cigar walk (no intermediate shard table),
             # streamed to the output in reused buffer slices

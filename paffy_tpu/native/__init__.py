@@ -167,6 +167,13 @@ def get_lib():
                                          ctypes.c_float, _I64P, _I64P,
                                          _I64P, _I64P, _I64P, _I64P,
                                          ctypes.c_longlong]
+        lib.query_walk_violation.restype = ctypes.c_longlong
+        lib.query_walk_violation.argtypes = [ctypes.c_longlong, _I64P, _U8P,
+                                             _I64P, _I64P, _I64P, _I64P]
+        lib.shatter_violation.restype = ctypes.c_longlong
+        lib.shatter_violation.argtypes = [ctypes.c_longlong, _I64P, _U8P,
+                                          _I64P, _U8P, _I64P, _I64P, _I64P,
+                                          _I64P, _I64P, _I64P, _I64P]
         lib.trim_tails_raw.restype = None
         lib.trim_tails_raw.argtypes = [ctypes.c_longlong, ctypes.c_char_p,
                                        _I64P, _I64P, _U8P, ctypes.c_float,
@@ -686,6 +693,46 @@ def trim_counts(off, is_match, lens, thr_f32, ident_f32, max_trim,
         else _p_u8(np.ascontiguousarray(rev, dtype=np.uint8)),
         _p_i64(out))
     return out
+
+
+def query_walk_violation(t):
+    """First record violating the tile/to_bed coverage-walk asserts, or
+    -1; None without a toolchain (see paffy_io.cpp)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    return int(lib.query_walk_violation(
+        len(t.qstart), _p_i64(np.ascontiguousarray(t.off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(t.ops, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(t.lens, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.qstart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.qend, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.qlen, dtype=np.int64))))
+
+
+def shatter_violation(t):
+    """(kind, record) of the first record the reference shatter walk dies
+    on — kind 'abort' or 'check' — or (None, -1); None without a
+    toolchain (see paffy_io.cpp)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    kind = np.zeros(1, dtype=np.int64)
+    r = int(lib.shatter_violation(
+        len(t.qstart), _p_i64(np.ascontiguousarray(t.off, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(t.ops, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(t.lens, dtype=np.int64)),
+        _p_u8(np.ascontiguousarray(t.strand, dtype=np.uint8)),
+        _p_i64(np.ascontiguousarray(t.qstart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.qend, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.qlen, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.tstart, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.tend, dtype=np.int64)),
+        _p_i64(np.ascontiguousarray(t.tlen, dtype=np.int64)),
+        _p_i64(kind)))
+    if r < 0:
+        return None, -1
+    return ("abort" if kind[0] == 1 else "check"), r
 
 
 def trim_tails_raw(t, score_fraction, max_fraction,

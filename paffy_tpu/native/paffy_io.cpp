@@ -1546,6 +1546,81 @@ void trim_tails_raw(long long n_records, const char* buf,
     for (auto& t : th) t.join();
 }
 
+// Validation walks mirroring the reference's assert semantics (one pass
+// per batch; the numpy forms in ops/transforms are the oracles and
+// no-toolchain fallbacks).
+
+// First record violating the query-side coverage-walk asserts of
+// tile/to_bed (impl/paf.c:691-709, impl/paf_tile.c:44-60), or -1:
+// aligned (M/=/X) columns must stay in [0, qend) and [0, qlen); the walk
+// (I advances, D does not) must end exactly at qend.  Name-consistency
+// is the caller's (needs the name table).
+long long query_walk_violation(long long n_records, const long long* off,
+                               const unsigned char* ops,
+                               const long long* lens,
+                               const long long* qstart,
+                               const long long* qend,
+                               const long long* qlen) {
+    for (long long r = 0; r < n_records; ++r) {
+        long long i = qstart[r];
+        bool bad = false;
+        for (long long k = off[r]; k < off[r + 1] && !bad; ++k) {
+            const unsigned char op = ops[k];
+            const long long L = lens[k];
+            if (op == 2) continue;               // D: cursor unmoved
+            if (op != 1 && L > 0) {              // aligned columns [i, i+L)
+                if (i < 0 || i + L > qend[r] || i + L > qlen[r]) bad = true;
+            }
+            i += L;
+        }
+        if (bad || i != qend[r]) return r;
+    }
+    return -1;
+}
+
+// (kind, record) of the first record the reference's shatter walk would
+// die on (impl/paf.c:600-663): kind 1 = assert abort (length < 1, =/X
+// op, end-of-walk span mismatch), kind 2 = per-shard paf_check errAbort
+// (shard coordinates out of bounds).  Returns -1 clean, else the record,
+// with *kind_out set.  Per record the first failing op decides the kind;
+// the span asserts fire only after the whole walk.
+long long shatter_violation(long long n_records, const long long* off,
+                            const unsigned char* ops, const long long* lens,
+                            const unsigned char* strand,
+                            const long long* qstart, const long long* qend,
+                            const long long* qlen,
+                            const long long* tstart, const long long* tend,
+                            const long long* tlen, long long* kind_out) {
+    for (long long r = 0; r < n_records; ++r) {
+        long long q = strand[r] ? qstart[r] : qend[r];
+        long long t = tstart[r];
+        for (long long k = off[r]; k < off[r + 1]; ++k) {
+            const unsigned char op = ops[k];
+            const long long L = lens[k];
+            if (L < 1 || op == 3 || op == 4) { *kind_out = 1; return r; }
+            if (op == 0) {
+                const long long sq = strand[r] ? q : q - L;
+                if (sq < 0 || sq + L > qlen[r]
+                    || t < 0 || t + L > tlen[r]) {
+                    *kind_out = 2;
+                    return r;
+                }
+                q += strand[r] ? L : -L;
+                t += L;
+            } else if (op == 1) {
+                q += strand[r] ? L : -L;
+            } else {
+                t += L;
+            }
+        }
+        if (t != tend[r] || q != (strand[r] ? qend[r] : qstart[r])) {
+            *kind_out = 1;
+            return r;
+        }
+    }
+    return -1;
+}
+
 // Gather contiguous op ranges [a[r], b[r]) into a compact CSR whose record
 // offsets are new_off (caller-cumsummed from b-a) — one memcpy pair per
 // record, threaded over records.  Generic CSR-rebuild helper (trim, and any

@@ -332,3 +332,133 @@ def shatter(t: PafTable) -> PafTable:
         ops=np.full(k, MATCH, dtype=np.uint8),
         lens=ln.astype(np.int64),
         off=np.arange(k + 1, dtype=np.int64))
+
+
+def query_walk_violation(t: PafTable, seen_qlens: dict | None = None) -> int:
+    """First record violating the reference's query-side coverage-walk
+    asserts, or -1.  Used by tile and to_bed, whose reference mains buffer
+    ALL output until after the walk — an assert aborts with nothing
+    written (increase_alignment_level_counts impl/paf.c:691-709,
+    get_median_alignment_level impl/paf_tile.c:44-60,
+    get_alignment_count_array impl/paf.c:686).
+
+    The walk starts at qstart; I advances the cursor, D does not; every
+    aligned (M/=/X) column must lie in [0, qend) and [0, qlen); the walk
+    must END exactly at qend.  Records with no aligned columns skip the
+    column bounds (the assert sits inside the per-column loop), and the
+    target side is never examined.  ``seen_qlens`` (optional, mutated)
+    carries the per-name query_length across batches: a repeated name
+    with a different qlen trips the count-array length assert.
+
+    One native pass when available; the numpy form below is the oracle
+    and no-toolchain fallback.
+    """
+    n = len(t)
+    if n == 0:
+        return -1
+    from paffy_tpu import native
+    walk = native.query_walk_violation(t)
+    if walk is None:
+        walk = _query_walk_violation_numpy(t)
+    bad = walk if walk >= 0 else n
+    if seen_qlens is not None:
+        uniq, first_idx, inv = np.unique(t.qname, return_index=True,
+                                         return_inverse=True)
+        expected = np.empty(len(uniq), dtype=np.int64)
+        for k, nm in enumerate(uniq):
+            expected[k] = seen_qlens.setdefault(nm, int(t.qlen[first_idx[k]]))
+        nb = np.nonzero(t.qlen != expected[inv])[0]
+        if len(nb):
+            bad = min(bad, int(nb[0]))
+    return -1 if bad == n else bad
+
+
+def _query_walk_violation_numpy(t: PafTable) -> int:
+    """Oracle / no-toolchain form of the native query_walk_violation."""
+    n = len(t)
+    bad = np.zeros(n, dtype=bool)
+    if len(t.ops):
+        seg = segment_ids_from_offsets(t.off, len(t.ops))
+        q_consume = np.where(t.ops != QUERY_DELETE, t.lens, 0)
+        span = segment_sums_by_offsets(q_consume, t.off)
+        bad |= (t.qstart + span) != t.qend
+        aligned = _ALIGNED[t.ops]
+        # cursor position after each op (inclusive prefix), record-local
+        c = np.cumsum(q_consume)
+        base = np.concatenate([[0], c])[t.off[:-1]]
+        after = c - base[seg]
+        # aligned op k covers query columns [qstart+after-L, qstart+after)
+        lo = t.qstart[seg] + after - t.lens
+        hi = t.qstart[seg] + after
+        col_bad = aligned & (t.lens > 0) & (
+            (lo < 0) | (hi > t.qend[seg]) | (hi > t.qlen[seg]))
+        if col_bad.any():
+            bad[np.unique(seg[col_bad])] = True
+    else:
+        bad |= t.qstart != t.qend      # raw/cigarless: walk never moves
+    b = np.nonzero(bad)[0]
+    return int(b[0]) if len(b) else -1
+
+
+def shatter_violation(t: PafTable):
+    """(kind, record) of the first record the reference's shatter would
+    die on, or (None, -1).  kind 'abort' = assert (SIGABRT: stdio buffer
+    lost, nothing of the batch reaches the output); kind 'check' = the
+    per-shard paf_check's st_errAbort (exit(1): stdio FLUSHES, so shards
+    of the records before it reach the output).  paf_shatter walks ops in
+    order asserting length >= 1 and op in {M, I, D} (=/X fail the
+    query_delete assert), paf_check-ing every M shard as it is built, and
+    asserting both walk ends land on the record's end coordinates
+    (impl/paf.c:600-663, shard check at :624).
+
+    One native pass when available; numpy oracle/fallback below.
+    """
+    n = len(t)
+    if n == 0 or len(t.ops) == 0:
+        return None, -1
+    from paffy_tpu import native
+    res = native.shatter_violation(t)
+    if res is not None:
+        return res
+    return _shatter_violation_numpy(t)
+
+
+def _shatter_violation_numpy(t: PafTable):
+    """Oracle / no-toolchain form of the native shatter_violation."""
+    n = len(t)
+    seg = segment_ids_from_offsets(t.off, len(t.ops))
+    q_consume = np.where(t.ops != QUERY_DELETE, t.lens, 0)
+    t_consume = np.where(t.ops != QUERY_INSERT, t.lens, 0)
+    cq = np.cumsum(q_consume)
+    ct = np.cumsum(t_consume)
+    baseq = np.concatenate([[0], cq])[t.off[:-1]]
+    baset = np.concatenate([[0], ct])[t.off[:-1]]
+    q_excl = cq - q_consume - baseq[seg]   # exclusive prefixes
+    t_excl = ct - t_consume - baset[seg]
+    abort_op = (t.lens < 1) | (t.ops == SEQ_MATCH) | (t.ops == SEQ_MISMATCH)
+    is_m = t.ops == MATCH
+    qs = np.where(t.strand[seg], t.qstart[seg] + q_excl,
+                  t.qend[seg] - q_excl - t.lens)
+    ts = t.tstart[seg] + t_excl
+    shard_bad = is_m & (
+        (qs < 0) | (qs + t.lens > t.qlen[seg])
+        | (ts < 0) | (ts + t.lens > t.tlen[seg]))
+    op_bad = abort_op | shard_bad
+    span_bad = ((t.qstart + segment_sums_by_offsets(q_consume, t.off))
+                != t.qend)
+    span_bad |= ((t.tstart + segment_sums_by_offsets(t_consume, t.off))
+                 != t.tend)
+    op_rec = span_rec = n
+    first_kind = None
+    if op_bad.any():
+        k0 = int(np.nonzero(op_bad)[0][0])
+        op_rec = int(seg[k0])
+        first_kind = "abort" if abort_op[k0] else "check"
+    sb = np.nonzero(span_bad)[0]
+    if len(sb):
+        span_rec = int(sb[0])
+    if op_rec == n and span_rec == n:
+        return None, -1
+    if span_rec < op_rec:
+        return "abort", span_rec
+    return first_kind, op_rec

@@ -287,3 +287,32 @@ def test_trim_tails_raw_matches_parsed():
         b = bytes(pafio.serialize_paf_bytes(
             trim_unreliable_tails(t_full, sf, mf)))
         assert a == b, (sf, mf)
+
+
+def test_validators_native_match_numpy(workload):
+    """Native walk validators must agree with their numpy oracles on
+    clean and corrupted workloads."""
+    from paffy_tpu.ops import transforms as tr
+    t, _, _, _ = workload
+    assert native.query_walk_violation(t) == tr._query_walk_violation_numpy(t)
+    assert native.shatter_violation(t) == tr._shatter_violation_numpy(t)
+    rng = np.random.default_rng(5)
+    for _ in range(12):
+        tb = t.copy() if hasattr(t, "copy") else t
+        import dataclasses
+        qe = t.qend.copy(); ts = t.tstart.copy(); lens = t.lens.copy()
+        i = int(rng.integers(0, len(t)))
+        what = rng.integers(0, 3)
+        if what == 0:
+            qe[i] += int(rng.integers(1, 5))
+        elif what == 1:
+            ts[i] -= int(rng.integers(1, 5)) * 1000
+        else:
+            k = int(t.off[i])
+            if k < t.off[i + 1]:
+                lens[k] = 0
+        tb = dataclasses.replace(t, qend=qe, tstart=ts, lens=lens)
+        assert (native.query_walk_violation(tb)
+                == tr._query_walk_violation_numpy(tb)), what
+        assert (native.shatter_violation(tb)
+                == tr._shatter_violation_numpy(tb)), what

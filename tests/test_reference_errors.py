@@ -115,3 +115,45 @@ def test_partial_output_and_weird_cigar_parity(ref, label, data, cmd):
                        capture_output=True, timeout=600, env=env)
     assert (a.returncode == 0) == (b.returncode == 0), (label, cmd)
     assert a.stdout == b.stdout, (label, cmd)
+
+
+def _vrec(cg, qs=0, qe=10, ts=0, te=10, st="+", name="r"):
+    return (f"{name}\t100\t{qs}\t{qe}\t{st}\tt\t100\t{ts}\t{te}\t10\t10\t60"
+            f"\tcg:Z:{cg}\n").encode()
+
+
+WALK_CASES = [
+    ("qend_gt_qlen", _vrec("15M", qs=95, qe=110, te=15)),
+    ("qstart_ge_qlen", _vrec("0M", qs=100, qe=100, te=0)),
+    ("tstart_gt_tend", _vrec("10M", ts=20, te=10)),
+    ("span_short", _vrec("9M")),
+    ("span_long", _vrec("11M")),
+    ("neg_qstart", _vrec("10M", qs=-5)),
+    ("zero_len_op", _vrec("5M0M5M")),
+    ("all_insert_far", _vrec("20I", qs=90, qe=110, ts=5, te=5)),
+    ("rev_bad_shard", _vrec("10M", qs=-3, qe=7, st="-")),
+    ("good_neg", _vrec("10M", qs=3, qe=13, st="-")),
+    ("dupname_badlen",
+     b"q\t200\t0\t10\t+\tu\t100\t0\t10\t10\t10\t60\tcg:Z:10M\n"),
+]
+
+
+@pytest.mark.parametrize("label,vrec", WALK_CASES)
+@pytest.mark.parametrize("cmd", [["shatter"], ["to_bed"], ["tile"],
+                                 ["to_bed", "-n"]],
+                         ids=lambda c: "_".join(c))
+def test_walk_assert_parity(ref, label, vrec, cmd):
+    """shatter/to_bed/tile reject exactly the records the reference's
+    walk asserts / per-shard paf_check reject — including the records the
+    asserts ACCEPT (qstart>=qlen with no aligned columns, tstart>tend on
+    the never-examined target side), with byte-identical stdout (abort
+    loses the stdio buffer; errAbort flushes the prior records)."""
+    import os
+    env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
+    data = GOOD + vrec
+    a = subprocess.run([ref["paffy"], *cmd], input=data,
+                       capture_output=True, timeout=120, env=env)
+    b = subprocess.run([str(REPO / "bin" / "paffy"), *cmd], input=data,
+                       capture_output=True, timeout=600, env=env)
+    assert (a.returncode == 0) == (b.returncode == 0), (label, cmd)
+    assert a.stdout == b.stdout, (label, cmd)
