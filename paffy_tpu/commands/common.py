@@ -148,6 +148,16 @@ def stream_tables(args, batch_bytes: int | None = None,
                 off = data.index(b"\n", off) + 1
             if off == 0:
                 raise
+            # classify the failure as the reference would experience it:
+            # fewer than 12 strtok tokens (consecutive tabs collapse) means
+            # its parser dereferences strtok's NULL — SIGSEGV, stdio buffer
+            # LOST, so nothing precedes the crash; >= 12 tokens fail a
+            # semantic validation (strand char, cigar char, paf_check) via
+            # st_errAbort — exit(1) FLUSHES, so the prefix is emitted.
+            line_end = data.find(b"\n", off)
+            line = data[off: line_end if line_end >= 0 else len(data)]
+            if sum(1 for f in line.split(b"\t") if f) < 12:
+                raise
             return pafio.parse_paf_data(data[:off],
                                         parse_cigars=parse_cigars,
                                         validate_cigars=validate_cigars), e

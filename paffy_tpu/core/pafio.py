@@ -172,7 +172,7 @@ def _table_to_arrays(t: PafTable):
 
 def _parse_python(text: str) -> PafTable:
     lines = text.splitlines()
-    n = sum(1 for ln in lines if ln)
+    n = len(lines)
     qname = np.empty(n, dtype=object)
     tname = np.empty(n, dtype=object)
     ints = np.zeros((9, n), dtype=np.int64)   # qlen qs qe tlen ts te nm nb mq
@@ -188,12 +188,14 @@ def _parse_python(text: str) -> PafTable:
     off = np.zeros(n + 1, dtype=np.int64)
 
     i = 0
-    for ln in lines:
-        if not ln:
-            continue
-        f = ln.split("\t")
+    for ln_no, ln in enumerate(lines, 1):
+        # strtok field semantics: consecutive tabs collapse; a blank line
+        # is a structural reject (the reference segfaults on it)
+        f = [x for x in ln.split("\t") if x]
         if len(f) < 12:
-            raise PafFormatError(f"paf line has {len(f)} fields, expected >= 12: {ln[:80]!r}")
+            raise PafFormatError(
+                f"paf line has {len(f)} fields, expected >= 12: {ln[:80]!r}",
+                ln_no)
         qname[i] = f[0]
         tname[i] = f[5]
         st = f[4]

@@ -24,6 +24,29 @@
 
 extern "C" {
 
+// strtok-style field tokenizer: consecutive tabs collapse and leading
+// tabs are skipped (the reference splits with strtok, impl/paf.c:139-209),
+// so an empty field SHIFTS the remaining tokens left rather than parsing
+// as an empty value.  Fills up to ``want`` token [start, end) pairs;
+// returns the token count.
+static inline int tokenize_fields(const char* p, const char* le,
+                                  const char** f, const char** fe,
+                                  int want) {
+    int nf = 0;
+    const char* s = p;
+    while (s < le && *s == '\t') ++s;
+    while (nf < want && s < le) {
+        f[nf] = s;
+        const char* t = (const char*)memchr(s, '\t', le - s);
+        fe[nf] = t ? t : le;
+        ++nf;
+        if (!t) break;
+        s = t + 1;
+        while (s < le && *s == '\t') ++s;
+    }
+    return nf;
+}
+
 // ---------------------------------------------------------------- pass 1
 // Count lines, cigar ops and name bytes over [p, end). Returns 0 on
 // success, else the (1-based, range-local) line number of the first
@@ -38,23 +61,16 @@ static long long scan_range(const char* p, const char* end,
         const char* eol = (const char*)memchr(p, '\n', end - p);
         const char* le = eol ? eol : end;
         ++line_no;
-        if (le == p) { p = le + 1; continue; }  // empty line
-        // field 0: query name
-        const char* t = (const char*)memchr(p, '\t', le - p);
-        if (!t) return line_no;
-        names += t - p + 1;
-        // skip fields 1-4 to target name (field 5)
-        const char* q = t + 1;
-        for (int f = 0; f < 4; ++f) {
-            q = (const char*)memchr(q, '\t', le - q);
-            if (!q) return line_no;
-            ++q;
-        }
-        t = (const char*)memchr(q, '\t', le - q);
-        if (!t) return line_no;
-        names += t - q + 1;
-        // find a cg:Z: tag and count its ops
-        const char* s = t;
+        if (le == p) return line_no;  // blank line: the reference
+        // segfaults here (strtok NULL, impl/paf.c:139) — reject
+        const char* f[12];
+        const char* fe[12];
+        if (tokenize_fields(p, le, f, fe, 12) < 12) return line_no;
+        names += fe[0] - f[0] + 1;
+        names += fe[5] - f[5] + 1;
+        // find a cg:Z: tag and count its ops (tags start after token 11,
+        // exactly where the fill pass looks)
+        const char* s = fe[11];
         while (s && s < le) {
             const char* tag = (const char*)memchr(s, '\t', le - s);
             if (!tag) break;
@@ -149,19 +165,12 @@ long long paf_scan_raw(const char* buf, long long len,
         const char* eol = (const char*)memchr(p, '\n', end - p);
         const char* le = eol ? eol : end;
         ++line_no;
-        if (le == p) { p = le + 1; continue; }
-        const char* t = (const char*)memchr(p, '\t', le - p);
-        if (!t) return line_no;
-        names += t - p + 1;
-        const char* q = t + 1;
-        for (int f = 0; f < 4; ++f) {
-            q = (const char*)memchr(q, '\t', le - q);
-            if (!q) return line_no;
-            ++q;
-        }
-        t = (const char*)memchr(q, '\t', le - q);
-        if (!t) return line_no;
-        names += t - q + 1;
+        if (le == p) return line_no;  // blank line (see scan_range)
+        const char* f[12];
+        const char* fe[12];
+        if (tokenize_fields(p, le, f, fe, 12) < 12) return line_no;
+        names += fe[0] - f[0] + 1;
+        names += fe[5] - f[5] + 1;
         ++recs;
         p = le + 1;
     }
@@ -199,23 +208,10 @@ static long long fill_range(const char* p, const char* end,
         const char* eol = (const char*)memchr(p, '\n', end - p);
         const char* le = eol ? eol : end;
         ++line_no;
-        if (le == p) { p = le + 1; continue; }
-        const char* f[13];
-        int nf = 0;
-        const char* s = p;
-        while (nf < 12) {
-            f[nf++] = s;
-            const char* t = (const char*)memchr(s, '\t', le - s);
-            if (!t) { if (nf < 12) { f[nf] = le; } break; }
-            s = t + 1;
-        }
-        if (nf < 12) return line_no;
+        if (le == p) return line_no;  // blank line (see scan_range)
+        const char* f[12];
         const char* fe[12];
-        for (int k = 0; k < 11; ++k) fe[k] = f[k + 1] - 1;  // tab positions
-        {   // field 11 ends at the next tab (tags follow) or at line end
-            const char* t = (const char*)memchr(f[11], '\t', le - f[11]);
-            fe[11] = t ? t : le;
-        }
+        if (tokenize_fields(p, le, f, fe, 12) < 12) return line_no;
 
         long long* R = ints + rec * 13;
         // names
@@ -375,23 +371,10 @@ long long paf_fill_raw(const char* buf, long long len,
         const char* eol = (const char*)memchr(p, '\n', end - p);
         const char* le = eol ? eol : end;
         ++line_no;
-        if (le == p) { p = le + 1; continue; }
-        const char* f[13];
-        int nf = 0;
-        const char* s = p;
-        while (nf < 12) {
-            f[nf++] = s;
-            const char* t = (const char*)memchr(s, '\t', le - s);
-            if (!t) { if (nf < 12) { f[nf] = le; } break; }
-            s = t + 1;
-        }
-        if (nf < 12) return line_no;
+        if (le == p) return line_no;  // blank line (see scan_range)
+        const char* f[12];
         const char* fe[12];
-        for (int k = 0; k < 11; ++k) fe[k] = f[k + 1] - 1;
-        {
-            const char* t = (const char*)memchr(f[11], '\t', le - f[11]);
-            fe[11] = t ? t : le;
-        }
+        if (tokenize_fields(p, le, f, fe, 12) < 12) return line_no;
         long long* R = ints + rec * 13;
         qname_off[rec] = npos;
         memcpy(name_pool + npos, f[0], fe[0] - f[0]);

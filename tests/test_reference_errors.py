@@ -157,3 +157,34 @@ def test_walk_assert_parity(ref, label, vrec, cmd):
                        capture_output=True, timeout=600, env=env)
     assert (a.returncode == 0) == (b.returncode == 0), (label, cmd)
     assert a.stdout == b.stdout, (label, cmd)
+
+
+STRTOK_CASES = [
+    ("blank_mid", GOOD + b"\n" + GOOD.replace(b"q\t", b"r\t")),
+    ("blank_end", GOOD + b"\n"),
+    ("empty_qlen", GOOD + GOOD.replace(b"q\t100\t", b"r\t\t", 1)),
+    ("double_tab_tags", GOOD.replace(b"\t60\t", b"\t60\t\t")),
+    ("leading_tab", b"\t" + GOOD),
+    ("trailing_tab", GOOD.replace(b"10M\n", b"10M\t\n")),
+    ("struct_short", GOOD + b"r\t100\t0\t10\n"),
+]
+
+
+@pytest.mark.parametrize("label,data", STRTOK_CASES)
+@pytest.mark.parametrize("cmd", [["dedupe"], ["invert"], ["trim"]],
+                         ids=lambda c: c[0])
+def test_strtok_field_parity(ref, label, data, cmd):
+    """The reference splits fields with strtok: consecutive tabs collapse
+    (an empty field SHIFTS the remaining tokens), and a blank line or a
+    sub-12-token line dereferences strtok's NULL — SIGSEGV with the stdio
+    buffer lost, so no prefix precedes the crash.  Our tokenizer mirrors
+    the collapse and classifies sub-12-token lines as the no-prefix hard
+    class.  stdout must match byte-for-byte."""
+    import os
+    env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
+    a = subprocess.run([ref["paffy"], *cmd], input=data,
+                       capture_output=True, timeout=120, env=env)
+    b = subprocess.run([str(REPO / "bin" / "paffy"), *cmd], input=data,
+                       capture_output=True, timeout=600, env=env)
+    assert (a.returncode == 0) == (b.returncode == 0), (label, cmd)
+    assert a.stdout == b.stdout, (label, cmd)
