@@ -92,10 +92,11 @@ def to_bed_main(argv) -> int:
             # the reference registers each record's query array, then its
             # flipped target array, record by record — pre-register names
             # in that interleaved first-seen order so write_bed's row
-            # order matches (impl/paf_to_bed.c:173-183)
-            for i in range(len(t)):
-                cm._get(t.qname[i], t.qlen[i])
-                cm._get(t.tname[i], t.tlen[i])
+            # order matches (impl/paf_to_bed.c:173-183); one vectorized
+            # pass, only distinct names touch Python
+            cm.register_batch(
+                np.column_stack([t.qname, t.tname]).ravel(),
+                np.column_stack([t.qlen, t.tlen]).ravel())
         cm.add(t)
         if args.includeInverted:
             ti = tr.invert(t)

@@ -399,14 +399,24 @@ def paf_check(t: PafTable, idx=None, check_raw_spans: bool = False) -> None:
                                     table=t, record_index=bad)
             return
     sel = np.arange(n) if idx is None else np.asarray(idx)
-    bad = (t.qstart[sel] < 0) | (t.qstart[sel] >= t.qlen[sel])
-    _raise_first(t, sel, bad, "Paf query start coordinates are invalid")
-    bad = (t.qstart[sel] > t.qend[sel]) | (t.qend[sel] > t.qlen[sel])
-    _raise_first(t, sel, bad, "Paf query end coordinates are invalid")
-    bad = (t.tstart[sel] < 0) | (t.tstart[sel] >= t.tlen[sel])
-    _raise_first(t, sel, bad, "Paf target start coordinates are invalid")
-    bad = (t.tstart[sel] > t.tend[sel]) | (t.tend[sel] > t.tlen[sel])
-    _raise_first(t, sel, bad, "Paf target end coordinates are invalid")
+    # All six class masks are evaluated over sel FIRST, then we raise for
+    # the first bad RECORD in sel order; class order only picks the message
+    # within that record.  The reference checks record-at-a-time
+    # (impl/paf.c:427-461), so an earlier record's later-class failure
+    # beats a later record's earlier-class failure — a class-ordered sweep
+    # would emit records the reference never outputs.
+    msgs = ("Paf query start coordinates are invalid",
+            "Paf query end coordinates are invalid",
+            "Paf target start coordinates are invalid",
+            "Paf target end coordinates are invalid",
+            "Paf cigar alignment does not match query length",
+            "Paf cigar alignment does not match target length")
+    masks = [
+        (t.qstart[sel] < 0) | (t.qstart[sel] >= t.qlen[sel]),
+        (t.qstart[sel] > t.qend[sel]) | (t.qend[sel] > t.qlen[sel]),
+        (t.tstart[sel] < 0) | (t.tstart[sel] >= t.tlen[sel]),
+        (t.tstart[sel] > t.tend[sel]) | (t.tend[sel] > t.tlen[sel]),
+    ]
     # cigar span check via segment sums over the CSR store (skipped for
     # raw-cigar tables, matching the reference's cigar==NULL guard)
     if len(t.ops) and t.raw_cg is None:
@@ -415,20 +425,20 @@ def paf_check(t: PafTable, idx=None, check_raw_spans: bool = False) -> None:
         t_consume = np.where(t.ops != 1, t.lens, 0)  # all but query_insert
         qs = segment_sums_by_offsets(q_consume, t.off)
         ts = segment_sums_by_offsets(t_consume, t.off)
-        bad = t.has_cigar[sel] & (qs[sel] != (t.qend[sel] - t.qstart[sel]))
-        _raise_first(t, sel, bad, "Paf cigar alignment does not match query length")
-        bad = t.has_cigar[sel] & (ts[sel] != (t.tend[sel] - t.tstart[sel]))
-        _raise_first(t, sel, bad, "Paf cigar alignment does not match target length")
+        masks.append(t.has_cigar[sel] & (qs[sel] != (t.qend[sel] - t.qstart[sel])))
+        masks.append(t.has_cigar[sel] & (ts[sel] != (t.tend[sel] - t.tstart[sel])))
+    any_bad = np.zeros(len(sel), dtype=bool)
+    for m in masks:
+        any_bad |= m
+    hit = np.nonzero(any_bad)[0]
+    j = int(hit[0]) if len(hit) else -1
+    bad = int(sel[j]) if j >= 0 else -1
+    code = next((k for k, m in enumerate(masks) if m[j]), 0) if j >= 0 else -1
     sbad, scode = raw_span_first_bad()
-    if sbad >= 0:
-        msg = ("Paf cigar alignment does not match query length" if scode == 4
-               else "Paf cigar alignment does not match target length")
-        raise PafCheckError(f"{msg}, {format_record(t, sbad)}",
-                            table=t, record_index=sbad)
-
-
-def _raise_first(t, sel, bad, msg):
-    if bad.any():
-        i = int(sel[np.nonzero(bad)[0][0]])
-        raise PafCheckError(f"{msg}, {format_record(t, i)}",
-                            table=t, record_index=i)
+    # first bad record wins; at the same record coordinate/CSR-span checks
+    # precede raw-span checks (per-record check order in the reference)
+    if sbad >= 0 and (bad < 0 or sbad < bad):
+        bad, code = sbad, scode
+    if bad >= 0:
+        raise PafCheckError(f"{msgs[code]}, {format_record(t, bad)}",
+                            table=t, record_index=bad)

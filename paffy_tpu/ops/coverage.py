@@ -86,13 +86,40 @@ class CoverageMap:
                     f"{self.lengths[i]} vs {length}")
         return i
 
+    def register_batch(self, names: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """Vectorized ``_get`` over parallel name/length arrays: registers
+        unseen names in first-seen order and returns the index array.  Only
+        DISTINCT names touch Python — the per-record loop was an
+        interpreter-bound O(n) pass per batch on streaming commands."""
+        names = np.asarray(names, dtype=object)
+        lengths = np.asarray(lengths, dtype=np.int64)
+        if len(names) == 0:
+            return np.empty(0, dtype=np.int64)
+        uniq, first, inv = np.unique(names, return_index=True,
+                                     return_inverse=True)
+        # np.unique sorts lexicographically; registration must follow
+        # first-seen input order
+        for j in np.argsort(first, kind="stable").tolist():
+            self._get(uniq[j], int(lengths[first[j]]))
+        base = np.fromiter((self._idx[nm] for nm in uniq),
+                           dtype=np.int64, count=len(uniq))
+        idx = base[inv]
+        # every occurrence (not just the first) must match the registered
+        # length — same invariant the scalar loop enforced per record
+        reg = np.asarray(self.lengths, dtype=np.int64)[idx]
+        off = np.nonzero(reg != lengths)[0]
+        if len(off):
+            i = int(off[0])
+            raise ValueError(
+                f"sequence {names[i]!r} seen with inconsistent lengths "
+                f"{reg[i]} vs {lengths[i]}")
+        return idx
+
     def add(self, t: PafTable) -> None:
         """Accumulate coverage of a batch's query sequences."""
         rec, start, end = match_intervals(t)
         # register sequences in record order even when a record has no runs
-        seq_of_rec = np.empty(len(t), dtype=np.int64)
-        for i in range(len(t)):
-            seq_of_rec[i] = self._get(t.qname[i], t.qlen[i])
+        seq_of_rec = self.register_batch(t.qname, t.qlen)
         if len(rec) == 0:
             return
         sid = seq_of_rec[rec]

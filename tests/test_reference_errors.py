@@ -159,6 +159,40 @@ def test_walk_assert_parity(ref, label, vrec, cmd):
     assert a.stdout == b.stdout, (label, cmd)
 
 
+MULTICLASS_CASES = [
+    # two invalid records of DIFFERENT check classes: the reference checks
+    # record-at-a-time (impl/paf.c:427-461 via impl/paf_dedupe.c:120-124),
+    # so the EARLIER record must win even when its class is checked later
+    # within a record — a class-ordered vectorized sweep would abort at the
+    # later record and emit records the reference never outputs.
+    ("qend_then_qstart",
+     _vrec("10M", name="g1")
+     + _vrec("15M", qs=95, qe=110, name="b1")       # bad qend (class 1)
+     + _vrec("10M", name="g2")
+     + _vrec("10M", qs=-5, qe=5, name="b2")),       # bad qstart (class 0)
+    ("tend_then_qstart",
+     _vrec("10M", name="g1")
+     + _vrec("10M", ts=95, te=110, name="b1")       # bad tend (class 3)
+     + _vrec("10M", qs=-5, qe=5, name="b2")),       # bad qstart (class 0)
+]
+
+
+@pytest.mark.parametrize("label,data", MULTICLASS_CASES)
+def test_dedupe_inverse_multiclass_record_order(ref, label, data):
+    """dedupe -a coordinate-checks via the vectorized paf_check(idx=...)
+    path; with invalid records of different classes the first bad RECORD
+    must abort (class order only picks the message), with byte-identical
+    stdout prefix."""
+    import os
+    env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
+    a = subprocess.run([ref["paffy"], "dedupe", "-a"], input=data,
+                       capture_output=True, timeout=120, env=env)
+    b = subprocess.run([str(REPO / "bin" / "paffy"), "dedupe", "-a"],
+                       input=data, capture_output=True, timeout=600, env=env)
+    assert a.returncode != 0 and b.returncode != 0, (label, a, b)
+    assert a.stdout == b.stdout, (label, a.stdout, b.stdout)
+
+
 STRTOK_CASES = [
     ("blank_mid", GOOD + b"\n" + GOOD.replace(b"q\t", b"r\t")),
     ("blank_end", GOOD + b"\n"),
