@@ -27,8 +27,33 @@ _U16P = ctypes.POINTER(ctypes.c_ushort)
 _F32P = ctypes.POINTER(ctypes.c_float)
 
 
+_FAST_SRC = os.path.join(_DIR, "paffy_fast.cpp")
+_FAST_BIN = os.path.join(_DIR, "paffy_fast")
+
+
+def build_fast() -> bool:
+    """Build the zero-startup CLI lane (bin/paffy dispatches dedupe/
+    split_file/chain to it).  Lazy + mtime-cached like the library;
+    non-fatal — a missing binary just keeps those commands on the Python
+    lane."""
+    try:
+        if (os.path.exists(_FAST_BIN)
+                and os.path.getmtime(_FAST_BIN) >= os.path.getmtime(_FAST_SRC)
+                and os.path.getmtime(_FAST_BIN) >= os.path.getmtime(_SRC)):
+            return True
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-std=c++17", "-pthread",
+             _FAST_SRC, _SRC, "-o", _FAST_BIN + ".tmp"],
+            check=True, capture_output=True, timeout=180)
+        os.replace(_FAST_BIN + ".tmp", _FAST_BIN)
+        return True
+    except (subprocess.SubprocessError, OSError, FileNotFoundError):
+        return False
+
+
 def _build() -> bool:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        build_fast()
         return True
     try:
         subprocess.run(
@@ -36,6 +61,7 @@ def _build() -> bool:
              _SRC, "-o", _LIB + ".tmp"],
             check=True, capture_output=True, timeout=120)
         os.replace(_LIB + ".tmp", _LIB)
+        build_fast()
         return True
     except (subprocess.SubprocessError, OSError, FileNotFoundError):
         return False

@@ -1,0 +1,824 @@
+// paffy_fast: zero-startup native lane for the paffy subcommands whose
+// reference totals are dominated by process startup — dedupe, split_file
+// and chain (their reference C binaries finish in well under a second even
+// at 64x the golden workload, so the Python lane's ~0.3 s interpreter+numpy
+// import floor was the entire residual; docs/PERF_NOTES.md "startup floor").
+//
+// bin/paffy (a /bin/sh dispatcher) execs this binary for those three
+// commands when it exists and is fresh; everything unusual — -h, unknown
+// flags, debug logging, PAFFY_TPU_PROFILE — re-execs the Python lane, which
+// is the reference implementation of record.  The binary is built lazily by
+// paffy_tpu/native/_build() next to libpaffy_io.so.
+//
+// It reuses the exact columnar passes of paffy_io.cpp (linked in the same
+// executable): strtok-semantics tokenizing (tab collapse, sub-12-token
+// lines = the reference's SIGSEGV class), raw-cigar fill (cg text re-emitted
+// verbatim, impl/paf_chain.c:128 read mode), the exact-size two-phase
+// serializer (tag rules of impl/paf.c:343-389), and the windowed chain DP.
+//
+// Error-path fidelity goes BEYOND the Python lane: output is staged and
+// released with glibc-stdio-faithful granularity, so on a SIGSEGV-class
+// input error (blank / sub-12-token line) exactly the full 4096-byte blocks
+// the reference's stdio had already flushed reach the file, and on an
+// errAbort-class error (bad strand/tp char, paf_check failure) the full
+// prefix is flushed (exit() flushes stdio; abort()/SIGSEGV loses the
+// buffer tail).  The Python lane's granularity is its streaming batch; this
+// lane erases that documented divergence for these three commands.
+
+#include <cstdarg>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cstdint>
+#include <climits>
+#include <string>
+#include <string_view>
+#include <vector>
+#include <algorithm>
+#include <unordered_map>
+#include <unordered_set>
+#include <thread>
+#include <getopt.h>
+#include <unistd.h>
+#include <fcntl.h>
+#include <errno.h>
+
+// ---- columnar passes from paffy_io.cpp (compiled into this executable)
+extern "C" {
+long long paf_scan_raw(const char* buf, long long len,
+                       long long* n_records, long long* name_bytes);
+long long paf_fill_raw(const char* buf, long long len,
+                       long long* ints, unsigned char* flags,
+                       unsigned char* type,
+                       long long* qname_off, long long* tname_off,
+                       char* name_pool,
+                       long long* cg_start, long long* cg_len,
+                       long long validate, long long* noncanon);
+void paf_serialize_sizes(long long n_records,
+                         const long long* ints, const unsigned char* flags,
+                         const unsigned char* type,
+                         const long long* qname_off,
+                         const long long* tname_off,
+                         const char* name_pool,
+                         const unsigned char* ops, const long long* op_lens,
+                         const long long* cig_off, const long long* order,
+                         const long long* cg_len,
+                         long long* sizes, long long n_threads);
+long long paf_serialize_fill(long long n_records,
+                             const long long* ints,
+                             const unsigned char* flags,
+                             const unsigned char* type,
+                             const long long* qname_off,
+                             const long long* tname_off,
+                             const char* name_pool,
+                             const unsigned char* ops,
+                             const long long* op_lens,
+                             const long long* cig_off,
+                             const long long* order,
+                             const char* raw_buf,
+                             const long long* cg_start,
+                             const long long* cg_len,
+                             const long long* out_off,
+                             char* out, long long n_threads);
+void chain_dp(long long n,
+              const long long* qs, const long long* qe,
+              const long long* ts, const long long* te,
+              const long long* score,
+              const long long* qe_order,
+              const long long* lo, const long long* hi,
+              long long gap_open, long long gap_extend, long long max_gap,
+              long long* cs_out, long long* pred_out);
+}
+
+namespace {
+
+int g_threads() {
+    unsigned n = std::thread::hardware_concurrency();
+    return n ? (int)n : 1;
+}
+
+bool g_log_info = false;
+void log_info(const char* fmt, ...) {
+    if (!g_log_info) return;
+    va_list ap; va_start(ap, fmt);
+    vfprintf(stderr, fmt, ap);
+    va_end(ap);
+    fputc('\n', stderr);
+}
+
+// Re-exec the Python lane for anything this binary does not model exactly
+// (usage/help text, unknown-flag rc, debug logging, profiler traces).
+[[noreturn]] void reexec_python(int argc, char** argv) {
+    char exe[4096];
+    ssize_t n = readlink("/proc/self/exe", exe, sizeof exe - 1);
+    if (n <= 0) _exit(3);
+    exe[n] = '\0';
+    // <repo>/paffy_tpu/native/paffy_fast -> <repo>/bin/paffy-py
+    std::string repo(exe);
+    for (int up = 0; up < 3; ++up) {
+        size_t s = repo.rfind('/');
+        if (s == std::string::npos) _exit(3);
+        repo.resize(s);
+    }
+    std::string launcher = repo + "/bin/paffy-py";
+    std::vector<char*> nargv;
+    nargv.push_back((char*)"python3");
+    nargv.push_back((char*)"-S");
+    nargv.push_back((char*)launcher.c_str());
+    for (int i = 1; i < argc; ++i) nargv.push_back(argv[i]);
+    nargv.push_back(nullptr);
+    // the dispatcher guards with PAFFY_TPU_NO_FAST, not us; python3 -S with
+    // the repo launcher reproduces bin/paffy's former behavior exactly
+    execvp("python3", nargv.data());
+    _exit(3);
+}
+
+// ------------------------------------------------------------------ input
+
+bool read_all(const char* path, std::vector<char>& buf) {
+    int fd = path ? open(path, O_RDONLY) : 0;
+    if (fd < 0) return false;
+    char tmp[1 << 20];
+    ssize_t r;
+    while ((r = read(fd, tmp, sizeof tmp)) > 0)
+        buf.insert(buf.end(), tmp, tmp + r);
+    if (path) close(fd);
+    return r >= 0;
+}
+
+// ------------------------------------------------- stdio-faithful output
+
+void write_fd(int fd, const char* p, size_t n) {
+    while (n) {
+        ssize_t w = write(fd, p, n);
+        if (w < 0) { if (errno == EINTR) continue; _exit(1); }
+        p += w; n -= (size_t)w;
+    }
+}
+
+// The reference writes through glibc stdio (4096-byte block buffering on
+// pipes and regular files): exit() flushes everything, abort()/SIGSEGV
+// loses the partial tail block.  We stage output and release it with the
+// class the reference's death would have had.
+enum ErrClass { ERR_NONE = 0, ERR_ABORT = 1, ERR_SEGV = 2 };
+
+void release(int fd, const std::vector<char>& bytes, ErrClass cls) {
+    size_t n = bytes.size();
+    if (cls == ERR_SEGV) n -= n % 4096;      // unflushed tail lost
+    write_fd(fd, bytes.data(), n);
+}
+
+// --------------------------------------------------------- raw PAF table
+
+struct RawTable {
+    std::vector<char> buf;                   // input bytes (cg ranges point in)
+    long long n = 0;
+    std::vector<long long> ints;             // [n*13]
+    std::vector<unsigned char> flags, type;
+    std::vector<long long> qname_off, tname_off, cg_start, cg_len;
+    std::vector<char> name_pool;
+    ErrClass pending = ERR_NONE;             // parse error after record n-1
+
+    const char* qname(long long i) const { return name_pool.data() + qname_off[i]; }
+    const char* tname(long long i) const { return name_pool.data() + tname_off[i]; }
+    long long* R(long long i) { return ints.data() + i * 13; }
+    const long long* R(long long i) const { return ints.data() + i * 13; }
+    bool strand(long long i) const { return flags[i] & 1; }
+};
+
+// byte offset of the start of 1-based line `line` (for truncating the
+// parseable prefix ahead of a bad line)
+size_t line_start_offset(const std::vector<char>& buf, long long line) {
+    const char* p = buf.data();
+    const char* end = p + buf.size();
+    for (long long l = 1; l < line && p < end; ++l) {
+        const char* nl = (const char*)memchr(p, '\n', end - p);
+        if (!nl) return buf.size();
+        p = nl + 1;
+    }
+    return (size_t)(p - buf.data());
+}
+
+// Parse the whole input with the reference read mode of these commands
+// (parse_cigar=0, no cigar validation).  On a malformed line the records
+// BEFORE it are kept and `pending` records the class the reference's death
+// would have: blank / sub-12-strtok-token lines dereference strtok's NULL
+// (SIGSEGV, buffer tail lost); >= 12-token semantic failures (strand / tp
+// char) go through st_errAbort (exit flushes).  Classes match
+// commands/common.stream_tables.
+bool parse_raw(RawTable& t) {
+    long long len = (long long)t.buf.size();
+    long long n_records = 0, name_bytes = 0;
+    long long bad = paf_scan_raw(t.buf.data(), len, &n_records, &name_bytes);
+    if (bad > 0) {
+        t.pending = ERR_SEGV;
+        len = (long long)line_start_offset(t.buf, bad);
+        bad = paf_scan_raw(t.buf.data(), len, &n_records, &name_bytes);
+        if (bad > 0) return false;           // cannot happen: clean prefix
+    }
+    t.n = n_records;
+    t.ints.resize(n_records * 13);
+    t.flags.resize(n_records);
+    t.type.resize(n_records);
+    t.qname_off.resize(n_records);
+    t.tname_off.resize(n_records);
+    t.cg_start.resize(n_records);
+    t.cg_len.resize(n_records);
+    t.name_pool.resize(name_bytes ? name_bytes : 1);
+    long long noncanon = 0;
+    bad = paf_fill_raw(t.buf.data(), len, t.ints.data(), t.flags.data(),
+                       t.type.data(), t.qname_off.data(), t.tname_off.data(),
+                       t.name_pool.data(), t.cg_start.data(), t.cg_len.data(),
+                       /*validate=*/0, &noncanon);
+    if (bad > 0) {
+        // semantic failure at an earlier line wins over the scan's
+        // structural failure (the reference dies at the first bad record)
+        t.pending = ERR_ABORT;
+        t.n = bad - 1;
+    }
+    return true;
+}
+
+// Serialize records order[0..m) (raw-cigar verbatim) into `out`.
+void serialize(const RawTable& t, const std::vector<long long>& order,
+               std::vector<char>& out) {
+    long long m = (long long)order.size();
+    if (!m) return;
+    std::vector<long long> sizes(m), off(m + 1);
+    paf_serialize_sizes(m, t.ints.data(), t.flags.data(), t.type.data(),
+                        t.qname_off.data(), t.tname_off.data(),
+                        t.name_pool.data(), nullptr, nullptr, nullptr,
+                        order.data(), t.cg_len.data(), sizes.data(),
+                        g_threads());
+    off[0] = 0;
+    for (long long r = 0; r < m; ++r) off[r + 1] = off[r] + sizes[r];
+    out.resize(off[m]);
+    paf_serialize_fill(m, t.ints.data(), t.flags.data(), t.type.data(),
+                       t.qname_off.data(), t.tname_off.data(),
+                       t.name_pool.data(), nullptr, nullptr, nullptr,
+                       order.data(), t.buf.data(), t.cg_start.data(),
+                       t.cg_len.data(), off.data(), out.data(), g_threads());
+}
+
+// paf_check on a raw record: coordinate classes only (the reference's
+// cigar==NULL guard skips spans under its parse_cigar=0 reads,
+// impl/paf.c:427-461).  Returns -1 ok, else the failing class 0-3.
+int check_coords(const RawTable& t, long long i) {
+    const long long* R = t.R(i);
+    if (R[1] < 0 || R[1] >= R[0]) return 0;   // qstart
+    if (R[1] > R[2] || R[2] > R[0]) return 1; // qend
+    if (R[4] < 0 || R[4] >= R[3]) return 2;   // tstart
+    if (R[4] > R[5] || R[5] > R[3]) return 3; // tend
+    return -1;
+}
+
+const char* CHECK_MSG[4] = {
+    "Paf query start coordinates are invalid",
+    "Paf query end coordinates are invalid",
+    "Paf target start coordinates are invalid",
+    "Paf target end coordinates are invalid",
+};
+
+// name interning: string_view keys point into the table's name pool
+struct SvHash {
+    size_t operator()(std::string_view s) const {
+        return std::hash<std::string_view>()(s);
+    }
+};
+using NameMap = std::unordered_map<std::string_view, uint32_t, SvHash>;
+
+uint32_t intern(NameMap& m, const char* s) {
+    auto [it, ins] = m.emplace(std::string_view(s), (uint32_t)m.size());
+    return it->second;
+}
+
+// --------------------------------------------------------------- options
+
+struct CommonOpts {
+    const char* input = nullptr;
+    const char* output = nullptr;
+    bool bail = false;                       // defer to the Python lane
+};
+
+void set_log_level(const char* lvl, int argc, char** argv) {
+    if (!lvl) return;
+    std::string s(lvl);
+    for (auto& c : s) c = (char)tolower((unsigned char)c);
+    if (s == "debug")                        // debug output lives in Python
+        reexec_python(argc, argv);
+    if (s == "info") g_log_info = true;
+    else if (s != "off" && s != "critical")  // unknown level: Python's error
+        reexec_python(argc, argv);
+}
+
+long long parse_ll(const char* s, bool* ok) {
+    char* end = nullptr;
+    errno = 0;
+    long long v = strtoll(s, &end, 10);
+    *ok = end && *end == '\0' && end != s && errno == 0;
+    return v;
+}
+
+// ----------------------------------------------------------------- dedupe
+
+// paffy dedupe (impl/paf_dedupe.c:117-143): first-occurrence-wins on the
+// full coordinate key; -a also probes the query/target-swapped key and
+// paf_checks every record whose direct probe missed.
+struct DedupeKey {
+    uint32_t qid, tid;
+    bool strand;
+    long long qs, qe, ts, te;
+    bool operator==(const DedupeKey& o) const {
+        return qid == o.qid && tid == o.tid && strand == o.strand
+            && qs == o.qs && qe == o.qe && ts == o.ts && te == o.te;
+    }
+};
+struct DedupeKeyHash {
+    size_t operator()(const DedupeKey& k) const {
+        uint64_t h = 0x9e3779b97f4a7c15ULL ^ k.qid;
+        auto mix = [&h](uint64_t v) {
+            h ^= v + 0x9e3779b97f4a7c15ULL + (h << 6) + (h >> 2);
+        };
+        mix(k.tid); mix(k.strand); mix((uint64_t)k.qs); mix((uint64_t)k.qe);
+        mix((uint64_t)k.ts); mix((uint64_t)k.te);
+        return (size_t)h;
+    }
+};
+
+int dedupe_main(int argc, char** argv) {
+    static struct option lopts[] = {
+        {"logLevel", required_argument, 0, 'l'},
+        {"inputFile", required_argument, 0, 'i'},
+        {"outputFile", required_argument, 0, 'o'},
+        {"checkInverse", no_argument, 0, 'a'},
+        {"help", no_argument, 0, 'h'},
+        {0, 0, 0, 0}};
+    CommonOpts c;
+    bool check_inverse = false;
+    const char* log_level = nullptr;
+    opterr = 0;
+    int key;
+    while ((key = getopt_long(argc, argv, "l:i:o:ha", lopts, nullptr)) != -1) {
+        switch (key) {
+            case 'l': log_level = optarg; break;
+            case 'i': c.input = optarg; break;
+            case 'o': c.output = optarg; break;
+            case 'a': check_inverse = true; break;
+            default: reexec_python(argc, argv);
+        }
+    }
+    if (optind < argc) reexec_python(argc, argv);  // stray positionals
+    set_log_level(log_level, argc, argv);
+    log_info("Input file string : %s", c.input ? c.input : "None");
+    log_info("Output file string : %s", c.output ? c.output : "None");
+
+    RawTable t;
+    if (!read_all(c.input, t.buf) || !parse_raw(t)) {
+        fprintf(stderr, "paffy dedupe: cannot read input: %s\n",
+                c.input ? c.input : "<stdin>");
+        return 1;
+    }
+
+    NameMap names;
+    std::unordered_set<DedupeKey, DedupeKeyHash> seen;
+    seen.reserve((size_t)t.n * 2);
+    std::vector<long long> kept;
+    kept.reserve(t.n);
+    ErrClass err = t.pending;
+    int bad_code = -1;
+    long long bad_rec = -1;
+    for (long long i = 0; i < t.n; ++i) {
+        const long long* R = t.R(i);
+        DedupeKey k{intern(names, t.qname(i)), intern(names, t.tname(i)),
+                    t.strand(i), R[1], R[2], R[4], R[5]};
+        if (seen.count(k)) continue;                  // direct duplicate
+        bool dup = false;
+        if (check_inverse) {
+            // inverse probe first, then check — impl/paf_dedupe.c:120-124
+            DedupeKey inv{k.tid, k.qid, k.strand, k.ts, k.te, k.qs, k.qe};
+            dup = seen.count(inv) != 0;
+            int code = check_coords(t, i);
+            if (code >= 0) {                          // errAbort: flush prefix
+                err = ERR_ABORT;
+                bad_code = code;
+                bad_rec = i;
+                break;
+            }
+        }
+        if (!dup) {
+            seen.insert(k);
+            kept.push_back(i);
+        }
+    }
+
+    std::vector<char> out;
+    serialize(t, kept, out);
+    int fd = 1;
+    if (c.output) {
+        fd = open(c.output, O_WRONLY | O_CREAT | O_TRUNC, 0666);
+        if (fd < 0) {
+            fprintf(stderr, "paffy dedupe: cannot open output: %s\n", c.output);
+            return 1;
+        }
+    }
+    release(fd, out, err);
+    if (c.output) close(fd);
+    if (err != ERR_NONE) {
+        if (bad_code >= 0)
+            fprintf(stderr, "%s, record %lld\n", CHECK_MSG[bad_code], bad_rec);
+        else
+            fprintf(stderr, "paffy dedupe: malformed paf input\n");
+        return 1;
+    }
+    log_info("Paffy dedupe is done!, 0 seconds have elapsed");
+    return 0;
+}
+
+// ------------------------------------------------------------- split_file
+
+// paffy split_file (impl/paf_split_file.c:128-170): demux records by target
+// (default) or query contig; contigs shorter than minLength are first-fit-
+// sequential bin-packed into <prefix>small_K.paf files.
+int split_file_main(int argc, char** argv) {
+    static struct option lopts[] = {
+        {"logLevel", required_argument, 0, 'l'},
+        {"inputFile", required_argument, 0, 'i'},
+        {"prefix", required_argument, 0, 'p'},
+        {"query", no_argument, 0, 'q'},
+        {"minLength", required_argument, 0, 'm'},
+        {"help", no_argument, 0, 'h'},
+        {0, 0, 0, 0}};
+    const char* input = nullptr;
+    const char* prefix = "split_";
+    bool by_query = false;
+    long long min_length = 0;
+    const char* log_level = nullptr;
+    opterr = 0;
+    int key;
+    while ((key = getopt_long(argc, argv, "l:i:p:qm:h", lopts, nullptr)) != -1) {
+        bool ok = true;
+        switch (key) {
+            case 'l': log_level = optarg; break;
+            case 'i': input = optarg; break;
+            case 'p': prefix = optarg; break;
+            case 'q': by_query = true; break;
+            case 'm': min_length = parse_ll(optarg, &ok);
+                      if (!ok) reexec_python(argc, argv);
+                      break;
+            default: reexec_python(argc, argv);
+        }
+    }
+    if (optind < argc) reexec_python(argc, argv);
+    set_log_level(log_level, argc, argv);
+    log_info("Input file string : %s", input ? input : "None");
+    log_info("Output file string : %s", "None");
+
+    RawTable t;
+    if (!read_all(input, t.buf) || !parse_raw(t)) {
+        fprintf(stderr, "paffy split_file: cannot read input: %s\n",
+                input ? input : "<stdin>");
+        return 1;
+    }
+
+    struct OutFile { std::string path; int fd; std::vector<long long> recs; };
+    std::vector<OutFile> files;
+    NameMap contig_file;                       // contig name -> files index
+    long long small_idx = 0, small_total = 0;
+    int small_file = -1;                       // current small bin (files idx)
+    ErrClass err = t.pending;
+    bool open_failed = false;
+    std::string failed_path;
+
+    auto open_file = [&](std::string path) -> int {
+        int fd = open(path.c_str(), O_WRONLY | O_CREAT | O_TRUNC, 0666);
+        if (fd < 0) {
+            open_failed = true;
+            failed_path = path;
+            return -1;
+        }
+        files.push_back(OutFile{std::move(path), fd, {}});
+        return (int)files.size() - 1;
+    };
+
+    for (long long i = 0; i < t.n && !open_failed; ++i) {
+        const char* nm = by_query ? t.qname(i) : t.tname(i);
+        long long ln = by_query ? t.R(i)[0] : t.R(i)[3];
+        auto it = contig_file.find(std::string_view(nm));
+        int fidx;
+        if (it != contig_file.end()) {
+            fidx = (int)it->second;
+        } else if (min_length > 0 && ln < min_length) {
+            // first-fit-sequential packing (impl/paf_split_file.c:142-169)
+            if (small_file < 0 || small_total + ln > min_length) {
+                std::string path = std::string(prefix) + "small_"
+                                 + std::to_string(small_idx++) + ".paf";
+                log_info("Opened small contigs output file: %s", path.c_str());
+                small_file = open_file(std::move(path));
+                if (small_file < 0) break;
+                small_total = 0;
+            }
+            small_total += ln;
+            fidx = small_file;
+            contig_file.emplace(std::string_view(nm), (uint32_t)fidx);
+        } else {
+            std::string path(prefix);
+            for (const char* s = nm; *s; ++s)
+                path += (*s == '/') ? '_' : *s;   // sanitize_filename
+            path += ".paf";
+            log_info("Opened output file: %s", path.c_str());
+            fidx = open_file(std::move(path));
+            if (fidx < 0) break;
+            contig_file.emplace(std::string_view(nm), (uint32_t)fidx);
+        }
+        files[fidx].recs.push_back(i);
+    }
+    if (open_failed) err = ERR_ABORT;          // st_errAbort flushes
+
+    // one serializer pass over all demuxed records, then per-file slices
+    for (auto& f : files) {
+        std::vector<char> bytes;
+        serialize(t, f.recs, bytes);
+        release(f.fd, bytes, err);
+        close(f.fd);
+    }
+    if (open_failed) {
+        fprintf(stderr, "Could not open output file: %s\n", failed_path.c_str());
+        return 1;
+    }
+    if (err != ERR_NONE) {
+        fprintf(stderr, "paffy split_file: malformed paf input\n");
+        return 1;
+    }
+    log_info("Split %lld records", t.n);
+    log_info("Paffy split_file is done!, 0 seconds have elapsed");
+    return 0;
+}
+
+// ------------------------------------------------------------------ chain
+
+// paffy chain: the driver of ops/chain.paf_chain_order, byte-identical to
+// the Python lane (which is byte-identical to the reference on all pinned
+// gates; equal-score output order is the documented stable-sort divergence,
+// README "Known divergences").  Heavy loop = the shared windowed chain_dp.
+int chain_main(int argc, char** argv) {
+    static struct option lopts[] = {
+        {"logLevel", required_argument, 0, 'l'},
+        {"inputFile", required_argument, 0, 'i'},
+        {"outputFile", required_argument, 0, 'o'},
+        {"maxGapLength", required_argument, 0, 'g'},
+        {"trimFraction", required_argument, 0, 't'},
+        {"chainGapOpen", required_argument, 0, 'd'},
+        {"chainGapExtend", required_argument, 0, 'e'},
+        {"help", no_argument, 0, 'h'},
+        {0, 0, 0, 0}};
+    CommonOpts c;
+    long long max_gap = 1000000, gap_open = 5000, gap_extend = 1;
+    double pct_trim = 1.0;
+    const char* log_level = nullptr;
+    opterr = 0;
+    int key;
+    bool ok = true;
+    while ((key = getopt_long(argc, argv, "l:i:o:hg:t:d:e:", lopts, nullptr))
+           != -1) {
+        switch (key) {
+            case 'l': log_level = optarg; break;
+            case 'i': c.input = optarg; break;
+            case 'o': c.output = optarg; break;
+            case 'g': max_gap = parse_ll(optarg, &ok); break;
+            case 'd': gap_open = parse_ll(optarg, &ok); break;
+            case 'e': gap_extend = parse_ll(optarg, &ok); break;
+            case 't': {
+                char* end = nullptr;
+                pct_trim = strtod(optarg, &end);
+                ok = end && *end == '\0' && end != optarg;
+                break;
+            }
+            default: reexec_python(argc, argv);
+        }
+        if (!ok) reexec_python(argc, argv);    // Python's int/float errors
+    }
+    if (optind < argc) reexec_python(argc, argv);
+    if (!(pct_trim >= 0.0 && pct_trim <= 1.0))
+        reexec_python(argc, argv);             // Python's assert, rc parity
+    set_log_level(log_level, argc, argv);
+    log_info("Input file string : %s", c.input ? c.input : "None");
+    log_info("Output file string : %s", c.output ? c.output : "None");
+    log_info("Maximum gap length : %lld", max_gap);
+    log_info("Chain gap open : %lld", gap_open);
+    log_info("Chain gap extend : %lld", gap_extend);
+
+    RawTable t;
+    if (!read_all(c.input, t.buf) || !parse_raw(t)) {
+        fprintf(stderr, "paffy chain: cannot read input: %s\n",
+                c.input ? c.input : "<stdin>");
+        return 1;
+    }
+    // the reference loads everything before chaining and writes only after,
+    // so a parse error yields no output at all (read_pafs,
+    // impl/paf_chain.c:128)
+    if (t.pending != ERR_NONE) {
+        fprintf(stderr, "paffy chain: malformed paf input\n");
+        return 1;
+    }
+    const long long n = t.n;
+
+    // per-record trim for chaining (impl/chaining.c:274-289: float
+    // multiply, C truncation, min/2) and '-' strand query mirroring
+    std::vector<long long> qs(n), qe(n), ts(n), te(n), score(n);
+    for (long long i = 0; i < n; ++i) {
+        const long long* R = t.R(i);
+        long long maxq = (long long)((float)(R[2] - R[1]) * (float)pct_trim);
+        long long maxt = (long long)((float)(R[5] - R[4]) * (float)pct_trim);
+        long long trim = (maxq < maxt ? maxq : maxt) / 2;
+        ts[i] = R[4] + trim;
+        te[i] = R[5] - trim;
+        if (t.strand(i)) {
+            qs[i] = R[1] + trim;
+            qe[i] = R[2] - trim;
+        } else {                               // invert_query_strand
+            qs[i] = -(R[2] - trim);
+            qe[i] = -(R[1] + trim);
+        }
+        score[i] = R[9];
+    }
+
+    NameMap names;
+    std::vector<uint32_t> qid(n), tid(n);
+    for (long long i = 0; i < n; ++i) {
+        qid[i] = intern(names, t.qname(i));
+        tid[i] = intern(names, t.tname(i));
+    }
+
+    std::vector<long long> out_order;          // global output order
+    out_order.reserve(n);
+    std::vector<long long> cid(n, -1), cscore(n, -1);
+    long long next_chain_id = 0;
+
+    // chain one strand set: sel = record indices (ascending input order)
+    auto chain_strand = [&](const std::vector<long long>& sel) {
+        const long long m = (long long)sel.size();
+        if (!m) return;
+        // processing order: ascending query_start, ties by input order
+        // (paf_cmp_by_query_location, ops/chain.py:196)
+        std::vector<long long> ord(m);
+        for (long long k = 0; k < m; ++k) ord[k] = k;
+        std::stable_sort(ord.begin(), ord.end(), [&](long long a, long long b) {
+            return qs[sel[a]] < qs[sel[b]];
+        });
+        std::vector<long long> g_sqs(m), g_sqe(m), g_sts(m), g_ste(m),
+            g_ssc(m), rec(m);
+        for (long long k = 0; k < m; ++k) {
+            long long i = sel[ord[k]];
+            rec[k] = i;
+            g_sqs[k] = qs[i]; g_sqe[k] = qe[i];
+            g_sts[k] = ts[i]; g_ste[k] = te[i];
+            g_ssc[k] = score[i];
+        }
+        // group by (qname, tname), first-seen over the sorted sequence
+        std::unordered_map<uint64_t, uint32_t> gkeys;
+        std::vector<std::vector<long long>> members;
+        for (long long k = 0; k < m; ++k) {
+            uint64_t gk = ((uint64_t)qid[rec[k]] << 32) | tid[rec[k]];
+            auto [it, ins] = gkeys.emplace(gk, (uint32_t)members.size());
+            if (ins) members.emplace_back();
+            members[it->second].push_back(k);
+        }
+        std::vector<long long> cs(m), pred(m, -1);
+        std::vector<long long> wqs, wqe, wts, wte, wsc, wqeo, wlo, whi, wcs,
+            wpred;
+        for (auto& mem : members) {
+            const long long gn = (long long)mem.size();
+            wqs.resize(gn); wqe.resize(gn); wts.resize(gn); wte.resize(gn);
+            wsc.resize(gn); wcs.resize(gn); wpred.resize(gn);
+            for (long long j = 0; j < gn; ++j) {
+                wqs[j] = g_sqs[mem[j]]; wqe[j] = g_sqe[mem[j]];
+                wts[j] = g_sts[mem[j]]; wte[j] = g_ste[mem[j]];
+                wsc[j] = g_ssc[mem[j]];
+            }
+            // candidate windows over the qend-sorted order
+            // (ops/chain._window_bounds)
+            wqeo.resize(gn);
+            for (long long j = 0; j < gn; ++j) wqeo[j] = j;
+            std::stable_sort(wqeo.begin(), wqeo.end(),
+                             [&](long long a, long long b) {
+                                 return wqe[a] < wqe[b];
+                             });
+            std::vector<long long> qes(gn);
+            for (long long j = 0; j < gn; ++j) qes[j] = wqe[wqeo[j]];
+            wlo.resize(gn); whi.resize(gn);
+            for (long long j = 0; j < gn; ++j) {
+                wlo[j] = std::lower_bound(qes.begin(), qes.end(),
+                                          wqs[j] - max_gap) - qes.begin();
+                long long hi = std::upper_bound(qes.begin(), qes.end(),
+                                                wqs[j]) - qes.begin();
+                whi[j] = hi > wlo[j] ? hi : wlo[j];
+            }
+            chain_dp(gn, wqs.data(), wqe.data(), wts.data(), wte.data(),
+                     wsc.data(), wqeo.data(), wlo.data(), whi.data(),
+                     gap_open, gap_extend, max_gap, wcs.data(), wpred.data());
+            for (long long j = 0; j < gn; ++j) {
+                cs[mem[j]] = wcs[j];
+                pred[mem[j]] = wpred[j] >= 0 ? mem[wpred[j]] : -1;
+            }
+        }
+        // greedy extraction, best chain-score first (ties: latest
+        // processed — the reference's pointer tiebreak, ops/chain.py:222)
+        std::vector<long long> extract(m);
+        for (long long k = 0; k < m; ++k) extract[k] = k;
+        std::stable_sort(extract.begin(), extract.end(),
+                         [&](long long a, long long b) {
+                             if (cs[a] != cs[b]) return cs[a] > cs[b];
+                             return a > b;
+                         });
+        std::vector<char> claimed(m, 0);
+        std::vector<long long> chain_members;
+        for (long long r : extract) {
+            if (claimed[r]) continue;
+            chain_members.clear();
+            chain_members.push_back(r);
+            claimed[r] = 1;
+            long long cur = r;
+            while (true) {
+                long long p = pred[cur];
+                if (p < 0 || claimed[p]) break;
+                claimed[p] = 1;
+                chain_members.push_back(p);
+                cur = p;
+            }
+            // total score along surviving links (get_chain_score)
+            long long total = g_ssc[chain_members[0]];
+            for (size_t z = 0; z + 1 < chain_members.size(); ++z) {
+                long long a = chain_members[z], b = chain_members[z + 1];
+                long long qg = g_sqs[a] - g_sqe[b], tg = g_sts[a] - g_ste[b];
+                long long g = (qg + tg == 0) ? 0
+                              : gap_open + gap_extend * (qg + tg);
+                total += g_ssc[b] - g;
+            }
+            for (long long mmb : chain_members) {
+                long long gi = rec[mmb];
+                out_order.push_back(gi);
+                cid[gi] = next_chain_id;
+                cscore[gi] = total;
+            }
+            ++next_chain_id;
+        }
+    };
+
+    std::vector<long long> pos_sel, neg_sel;
+    for (long long i = 0; i < n; ++i)
+        (t.strand(i) ? pos_sel : neg_sel).push_back(i);
+    chain_strand(pos_sel);
+    chain_strand(neg_sel);
+
+    // tag + check every record (paf_check runs before any output, so a
+    // failure yields an empty stdout, impl/chaining.c:331)
+    for (long long i = 0; i < n; ++i) {
+        t.R(i)[11] = cid[i];                   // cn
+        t.R(i)[12] = cscore[i];                // s1
+    }
+    for (long long i = 0; i < n; ++i) {
+        int code = check_coords(t, i);
+        if (code >= 0) {
+            fprintf(stderr, "%s, record %lld\n", CHECK_MSG[code], i);
+            return 1;
+        }
+    }
+    // final order: descending score, stable over the strand-set
+    // concatenation (impl/chaining.c:337 via the documented stable sort)
+    std::stable_sort(out_order.begin(), out_order.end(),
+                     [&](long long a, long long b) {
+                         return t.R(a)[9] > t.R(b)[9];
+                     });
+
+    std::vector<char> out;
+    serialize(t, out_order, out);
+    int fd = 1;
+    if (c.output) {
+        fd = open(c.output, O_WRONLY | O_CREAT | O_TRUNC, 0666);
+        if (fd < 0) {
+            fprintf(stderr, "paffy chain: cannot open output: %s\n", c.output);
+            return 1;
+        }
+    }
+    release(fd, out, ERR_NONE);
+    if (c.output) close(fd);
+    log_info("Paffy chain is done!, 0 seconds have elapsed");
+    return 0;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+    if (argc < 2) reexec_python(argc, argv);
+    if (getenv("PAFFY_TPU_PROFILE") || getenv("PAFFY_TPU_NO_FAST"))
+        reexec_python(argc, argv);
+    std::string cmd(argv[1]);
+    // getopt scans argv[1:]: shift so the subcommand is not an operand
+    int sub_argc = argc - 1;
+    char** sub_argv = argv + 1;
+    optind = 1;
+    if (cmd == "dedupe") return dedupe_main(sub_argc, sub_argv);
+    if (cmd == "split_file") return split_file_main(sub_argc, sub_argv);
+    if (cmd == "chain") return chain_main(sub_argc, sub_argv);
+    reexec_python(argc, argv);
+}

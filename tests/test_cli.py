@@ -253,12 +253,12 @@ def test_split_file_binpack(tmp_path):
 def test_bin_scripts_subprocess(workload):
     env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
     r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bin", "paffy"), "invert",
+        [os.path.join(REPO, "bin", "paffy"), "invert",
          "-i", workload["paf"]],
         capture_output=True, text=True, env=env, timeout=240)
     assert r.returncode == 0, r.stderr
     assert len(r.stdout.splitlines()) == workload["n_records"]
-    r = subprocess.run([sys.executable, os.path.join(REPO, "bin", "faffy")],
+    r = subprocess.run([os.path.join(REPO, "bin", "faffy")],
                        capture_output=True, text=True, env=env, timeout=240)
     assert "faffy" in r.stderr
 
