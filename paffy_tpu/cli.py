@@ -74,7 +74,21 @@ def paffy_main(argv=None) -> int:
         sys.stderr.write(f"{cmd} is not a valid paffy command\n")
         _paffy_usage()
         return 1
-    return m(rest)
+    return _run(m, rest)
+
+
+def _run(m, rest) -> int:
+    """Run a command main, then finalize any staged output with the
+    stdio semantics of the reference's death mode (GlibcWriter: errAbort
+    flushes the sub-block tail, assert/SIGSEGV discards it)."""
+    from paffy_tpu.commands import common
+    try:
+        rc = m(rest)
+    except BaseException as e:
+        common.end_writers(error=e)
+        raise
+    common.end_writers()
+    return rc
 
 
 def faffy_main(argv=None) -> int:
@@ -93,4 +107,4 @@ def faffy_main(argv=None) -> int:
         sys.stderr.write(f"{cmd} is not a valid faffy command\n")
         _faffy_usage()
         return 1
-    return m(rest)
+    return _run(m, rest)

@@ -54,8 +54,10 @@ def tile_main(argv) -> int:
     # buffers everything until write_pafs (impl/paf_tile.c:150-180)
     bad = tr.query_walk_violation(t, {})
     if bad >= 0:
-        raise pafio.PafCheckError(
+        err = pafio.PafCheckError(
             f"tile: invalid record, {pafio.format_record(t, bad)}")
+        err.stdio_lost_tail = True   # walk assert: SIGABRT class
+        raise err
     order = tile_sort_order(t)
     levels = assign_tile_levels(t, order)
     t = replace(t, tile_level=levels)
@@ -86,8 +88,10 @@ def to_bed_main(argv) -> int:
         # shared count-array hash, so names and lengths mix)
         bad = tr.query_walk_violation(t, seen_qlens)
         if bad >= 0:
-            raise pafio.PafCheckError(
+            err = pafio.PafCheckError(
                 f"to_bed: invalid record, {pafio.format_record(t, bad)}")
+            err.stdio_lost_tail = True   # walk assert: SIGABRT class
+            raise err
         if args.includeInverted:
             # the reference registers each record's query array, then its
             # flipped target array, record by record — pre-register names
@@ -102,9 +106,11 @@ def to_bed_main(argv) -> int:
             ti = tr.invert(t)
             bad = tr.query_walk_violation(ti, seen_qlens)
             if bad >= 0:
-                raise pafio.PafCheckError(
+                err = pafio.PafCheckError(
                     f"to_bed: invalid inverted record, "
                     f"{pafio.format_record(ti, bad)}")
+                err.stdio_lost_tail = True   # walk assert: SIGABRT class
+                raise err
             cm.add(ti)
     out = open_output(args)
     try:

@@ -40,8 +40,30 @@ def open_input(args):
     return sys.stdin if args.inputFile is None else open(args.inputFile, "r")
 
 
+class _TextGlibcFacade:
+    """str interface over a GlibcWriter (text-output commands: view,
+    to_bed, faffy merge) — same stdio block granularity on error paths."""
+
+    def __init__(self, w):
+        self._w = w
+
+    def write(self, s: str) -> int:
+        return self._w.write(s.encode("latin-1"))
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        self._w.close()
+
+
 def open_output(args):
-    return sys.stdout if args.outputFile is None else open(args.outputFile, "w")
+    if args.outputFile is not None:
+        return _TextGlibcFacade(GlibcWriter(open(args.outputFile, "wb"),
+                                            owns=True))
+    buf = getattr(sys.stdout, "buffer", None)
+    raw = buf if buf is not None else _TextWriteCompat(sys.stdout)
+    return _TextGlibcFacade(GlibcWriter(raw, owns=False))
 
 
 class _TextReadCompat:
@@ -75,11 +97,99 @@ def open_input_binary(args):
     return buf if buf is not None else _TextReadCompat(sys.stdin)
 
 
+class GlibcWriter:
+    """Stdio-granularity staging writer for command output streams.
+
+    The reference writes record-at-a-time through glibc stdio, which
+    flushes in full (typically 4096-byte) blocks: on st_errAbort exit()
+    flushes the partial tail, on assert/SIGSEGV the tail dies with the
+    process (impl/paf.c:155-157 vs the assert classes).  This wrapper
+    reproduces that observable granularity at ANY streaming batch size:
+    full blocks pass through immediately, the sub-block tail is held until
+    ``close`` on a clean finish (flush) or until the CLI layer ends it
+    after an exception (flush for errAbort-class errors, discard for
+    assert/SIGSEGV-class ones — ``stdio_lost_tail`` on the exception).
+    """
+
+    BLOCK = 4096
+
+    def __init__(self, fh, owns: bool):
+        self._fh = fh
+        self._owns = owns
+        self._tail = b""
+        _ACTIVE_WRITERS.append(self)
+
+    def write(self, data) -> int:
+        b = data if isinstance(data, bytes) else bytes(data)
+        total = len(self._tail) + len(b)
+        keep = total % self.BLOCK
+        if total < self.BLOCK:
+            self._tail += b
+            return len(b)
+        # pass the completed blocks through; at most one sub-block copy
+        self._fh.write(self._tail)
+        cut = len(b) - keep
+        self._fh.write(b[:cut])
+        self._tail = bytes(b[cut:])
+        return len(b)
+
+    def flush(self) -> None:
+        pass    # interior flushes don't exist in the stdio model
+
+    def _end(self, flush_tail: bool) -> None:
+        if self in _ACTIVE_WRITERS:
+            _ACTIVE_WRITERS.remove(self)
+        if flush_tail and self._tail:
+            self._fh.write(self._tail)
+        self._tail = b""
+        if self._owns:
+            self._fh.close()
+        else:
+            try:
+                self._fh.flush()
+            except (ValueError, OSError):
+                pass
+
+    def close(self) -> None:
+        # inside a ``finally`` with an exception in flight the tail's fate
+        # depends on the error class — defer to the CLI-layer finalizer
+        if sys.exc_info()[0] is None:
+            self._end(flush_tail=True)
+
+
+class _SigAbort:
+    """Error marker: die like an assert (stdio tails lost)."""
+    stdio_lost_tail = True
+
+
+def abort_writers() -> None:
+    """Finalize all writers as an assert/SIGABRT death would: staged
+    sub-block tails are discarded, matching the reference's lost stdio
+    buffer (e.g. the view -u/-v sanity asserts, impl/paf_view.c:196-197,
+    which fire AFTER the aggregate line is printed but before stdio
+    flushes it)."""
+    end_writers(error=_SigAbort())
+
+
+def end_writers(error=None) -> None:
+    """Finalize all active output writers.  With ``error`` the tail is
+    flushed or discarded by the exception's stdio class (see GlibcWriter);
+    without, any still-open writer flushes (defensive — commands normally
+    close their own)."""
+    lost = bool(getattr(error, "stdio_lost_tail", False))
+    for w in list(_ACTIVE_WRITERS):
+        w._end(flush_tail=not lost)
+
+
+_ACTIVE_WRITERS: list = []
+
+
 def open_output_binary(args):
     if args.outputFile is not None:
-        return open(args.outputFile, "wb")
+        return GlibcWriter(open(args.outputFile, "wb"), owns=True)
     buf = getattr(sys.stdout, "buffer", None)
-    return buf if buf is not None else _TextWriteCompat(sys.stdout)
+    raw = buf if buf is not None else _TextWriteCompat(sys.stdout)
+    return GlibcWriter(raw, owns=False)
 
 
 def close_input_binary(fh):
@@ -90,9 +200,6 @@ def close_input_binary(fh):
 
 
 def close_output_binary(fh):
-    if isinstance(fh, _TextWriteCompat) or fh is getattr(sys.stdout, "buffer",
-                                                         None):
-        return
     fh.close()
 
 
@@ -120,6 +227,15 @@ import os
 BATCH_BYTES = int(os.environ.get("PAFFY_TPU_BATCH_BYTES", 256 * 1024 * 1024))
 
 
+def _segv_class(data: bytes, off: int) -> bool:
+    """True when the line at byte ``off`` would crash the reference's
+    strtok walk (blank / sub-12-token line -> SIGSEGV; >= 12 tokens fail
+    semantically -> st_errAbort)."""
+    line_end = data.find(b"\n", off)
+    line = data[off: line_end if line_end >= 0 else len(data)]
+    return sum(1 for f in line.split(b"\t") if f) < 12
+
+
 def stream_tables(args, batch_bytes: int | None = None,
                   parse_cigars: bool = True, validate_cigars: bool = False):
     """Yield PafTable batches from the input, splitting at line boundaries.
@@ -141,22 +257,24 @@ def stream_tables(args, batch_bytes: int | None = None,
             return pafio.parse_paf_data(data, parse_cigars=parse_cigars,
                                         validate_cigars=validate_cigars), None
         except pafio.PafFormatError as e:
+            # classify the failure as the reference would experience it:
+            # fewer than 12 strtok tokens (consecutive tabs collapse) means
+            # its parser dereferences strtok's NULL — SIGSEGV, the stdio
+            # buffer TAIL is lost (stdio_lost_tail; GlibcWriter discards
+            # the sub-block remainder); >= 12 tokens fail a semantic
+            # validation (strand char, cigar char) via st_errAbort —
+            # exit(1) FLUSHES.  Either way the records BEFORE the bad line
+            # were already written by the reference, so both classes yield
+            # the clean prefix; the writer's block granularity makes the
+            # final bytes identical at any batch size.
             if not e.line_no or e.line_no <= 1:
+                e.stdio_lost_tail = _segv_class(data, 0)
                 raise
             off = 0
             for _ in range(e.line_no - 1):
                 off = data.index(b"\n", off) + 1
+            e.stdio_lost_tail = _segv_class(data, off)
             if off == 0:
-                raise
-            # classify the failure as the reference would experience it:
-            # fewer than 12 strtok tokens (consecutive tabs collapse) means
-            # its parser dereferences strtok's NULL — SIGSEGV, stdio buffer
-            # LOST, so nothing precedes the crash; >= 12 tokens fail a
-            # semantic validation (strand char, cigar char, paf_check) via
-            # st_errAbort — exit(1) FLUSHES, so the prefix is emitted.
-            line_end = data.find(b"\n", off)
-            line = data[off: line_end if line_end >= 0 else len(data)]
-            if sum(1 for f in line.split(b"\t") if f) < 12:
                 raise
             return pafio.parse_paf_data(data[:off],
                                         parse_cigars=parse_cigars,

@@ -236,7 +236,11 @@ def split_file_main(argv) -> int:
             for path in forder:
                 fh = handles.get(path)
                 if fh is None:
-                    fh = open(path, "wb")
+                    # per-file stdio block granularity, like the reference's
+                    # per-contig FILE* (GlibcWriter; the finalizer applies
+                    # the error class to every open file's tail)
+                    from paffy_tpu.commands.common import GlibcWriter
+                    fh = GlibcWriter(open(path, "wb"), owns=True)
                     handles[path] = fh
                 fh.write(pafio.serialize_paf_bytes(
                     t.take(np.array(by_file[path], dtype=np.int64))))

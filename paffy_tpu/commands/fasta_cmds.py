@@ -44,7 +44,6 @@ def chunk_main(argv) -> int:
     log_info("Chunks output directory : %s", args.dir)
     log_info("Chunk size : %d", args.chunkSize)
     log_info("Chunk overlap size : %d", args.overlap)
-    assert args.chunkSize > args.overlap
 
     if os.path.exists(args.dir):
         if not os.path.isdir(args.dir):
@@ -85,6 +84,15 @@ def chunk_main(argv) -> int:
     for f in args.fasta_files:
         log_info("Chunking sequence file : %s", f)
         for header, seq in read_fasta_list(f):
+            # the reference asserts PER SEQUENCE, not up front
+            # (processSequenceToChunk, impl/fasta_chunk.c:74): an empty
+            # input with degenerate sizes exits 0 on both sides.  The
+            # chunkSize > 0 guard replaces the reference's non-behaviors
+            # for non-positive sizes (chunkSize 0 with overlap < 0 spins
+            # forever in its stride loop; negative sizes die in
+            # stString_getSubString) with a clean error, same rc class.
+            assert args.chunkSize > args.overlap
+            assert args.chunkSize > 0
             n = len(seq)
             # fixed-stride slicing with overlap lookahead
             # (processSequenceToChunk, impl/fasta_chunk.c:72-104)

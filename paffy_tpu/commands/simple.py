@@ -91,13 +91,20 @@ def shatter_main(argv) -> int:
             # errAbort with the PRIOR records' shards flushed
             # (impl/paf.c:600-663, ops/transforms.shatter_violation)
             kind, rec = tr.shatter_violation(t)
-            if kind == "check" and rec > 0:
-                pre = t.take(np.arange(rec))
-                if native.shatter_serialize(pre, fh=out) is None:
-                    out.write(pafio.serialize_paf_bytes(tr.shatter(pre)))
             if kind is not None:
-                raise pafio.PafCheckError(
+                # both death classes have already written the shards of
+                # the records before the bad one; the GlibcWriter block
+                # granularity then loses the sub-4096 tail for the assert
+                # class ('abort': SIGABRT) and flushes it for the
+                # per-shard paf_check class ('check': st_errAbort)
+                if rec > 0:
+                    pre = t.take(np.arange(rec))
+                    if native.shatter_serialize(pre, fh=out) is None:
+                        out.write(pafio.serialize_paf_bytes(tr.shatter(pre)))
+                err = pafio.PafCheckError(
                     f"shatter: invalid record, {pafio.format_record(t, rec)}")
+                err.stdio_lost_tail = kind == "abort"
+                raise err
             # fused native shatter+serialize: each M run's line emitted
             # straight from the cigar walk (no intermediate shard table),
             # streamed to the output in reused buffer slices

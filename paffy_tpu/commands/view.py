@@ -189,19 +189,26 @@ def main(argv) -> int:
                 f"\tAvg-Identity-with-gaps:{_f(_ident_gaps(tm, tx, tqib, tqdb))}"
                 f"\tAligned-bases:{tm+tx}\tAligned-bases-with-gaps:{tm+tx+tqib+tqdb}"
                 f"\tQuery-inserts:{tqi}\tQuery-deletes:{tqd}\n")
+        # -u/-v sanity oracle (impl/paf_view.c:196-197): float32-vs-float32
+        # comparison exactly as the reference (its threshold variable is a
+        # C float).  The asserts fire AFTER the aggregate line is printed
+        # but BEFORE stdio flushes it — SIGABRT loses the buffered tail,
+        # so on failure the staged sub-block output is discarded.
+        ident = _ident(tm, tx)
+        if not (ident >= np.float32(args.errorIfIdentityLowerThanX)):
+            from paffy_tpu.commands.common import abort_writers
+            abort_writers()
+            print(f"Aggregate identity {ident} below threshold "
+                  f"{args.errorIfIdentityLowerThanX}", file=sys.stderr)
+            return 1
+        if not (tm + tx >= args.errorIfAlignedBasesLowerThanX):
+            from paffy_tpu.commands.common import abort_writers
+            abort_writers()
+            print(f"Aligned bases {tm+tx} below threshold "
+                  f"{args.errorIfAlignedBasesLowerThanX}", file=sys.stderr)
+            return 1
     finally:
         if out is not sys.stdout:
             out.close()
-
-    # -u/-v sanity oracle (impl/paf_view.c:196-197)
-    ident = _ident(tm, tx)
-    if not (ident >= np.float32(args.errorIfIdentityLowerThanX)):
-        print(f"Aggregate identity {ident} below threshold "
-              f"{args.errorIfIdentityLowerThanX}", file=sys.stderr)
-        return 1
-    if not (tm + tx >= args.errorIfAlignedBasesLowerThanX):
-        print(f"Aligned bases {tm+tx} below threshold "
-              f"{args.errorIfAlignedBasesLowerThanX}", file=sys.stderr)
-        return 1
     timer.done()
     return 0

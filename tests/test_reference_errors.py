@@ -159,6 +159,54 @@ def test_walk_assert_parity(ref, label, vrec, cmd):
     assert a.stdout == b.stdout, (label, cmd)
 
 
+def _bulk(n, cg="10M5I5D10M5I5D100M", prefix="q"):
+    """n distinct valid records, ~100 bytes each — enough output to cross
+    several 4096-byte stdio blocks before an error."""
+    out = []
+    for i in range(n):
+        out.append(f"{prefix}{i}\t1000\t0\t130\t+\tt{i}\t1000\t0\t130\t130"
+                   f"\t130\t60\tcg:Z:{cg}\n")
+    return "".join(out).encode()
+
+
+GRAN_CASES = [
+    # SIGSEGV class mid-file: the reference loses only the sub-4096-byte
+    # stdio tail, so the flushed block prefix must match byte-for-byte
+    ("segv_blank", _bulk(120) + b"\n" + _bulk(3, prefix="z")),
+    ("segv_short", _bulk(120) + b"r\t100\t0\t10\n" + _bulk(3, prefix="z")),
+    # errAbort class mid-file: exit() flushes, full prefix emitted
+    ("abort_strand", _bulk(120) + _bulk(1, prefix="s").replace(b"\t+\t", b"\t*\t")
+     + _bulk(3, prefix="z")),
+]
+
+
+@pytest.mark.parametrize("label,data", GRAN_CASES)
+@pytest.mark.parametrize("cmd", [["invert"], ["trim"], ["filter"],
+                                 ["dedupe"], ["shatter"]],
+                         ids=lambda c: c[0])
+@pytest.mark.parametrize("batch", ["1024", "8192", None], ids=lambda b: b or "default")
+def test_stdio_granularity_parity(ref, label, data, cmd, batch):
+    """Error-path BYTE parity at ANY streaming batch size: GlibcWriter
+    stages output in 4096-byte stdio blocks, so the bytes that reach the
+    pipe when a command dies mid-stream equal the reference's flushed
+    stdio prefix — for the SIGSEGV class (tail lost) and the errAbort
+    class (tail flushed) alike, regardless of PAFFY_TPU_BATCH_BYTES.
+    Forced onto the Python lane; the fast lane re-verifies separately in
+    the default-batch pass (dedupe rows)."""
+    import os
+    env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
+    if batch is not None:
+        env["PAFFY_TPU_BATCH_BYTES"] = batch
+        env["PAFFY_TPU_NO_FAST"] = "1"
+    a = subprocess.run([ref["paffy"], *cmd], input=data,
+                       capture_output=True, timeout=120, env=env)
+    b = subprocess.run([str(REPO / "bin" / "paffy"), *cmd], input=data,
+                       capture_output=True, timeout=600, env=env)
+    assert a.returncode != 0 and b.returncode != 0, (label, cmd, batch)
+    assert a.stdout == b.stdout, (
+        label, cmd, batch, len(a.stdout), len(b.stdout))
+
+
 MULTICLASS_CASES = [
     # two invalid records of DIFFERENT check classes: the reference checks
     # record-at-a-time (impl/paf.c:427-461 via impl/paf_dedupe.c:120-124),
