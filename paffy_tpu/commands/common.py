@@ -50,6 +50,11 @@ class _TextGlibcFacade:
     def write(self, s: str) -> int:
         return self._w.write(s.encode("latin-1"))
 
+    def write_bytes(self, data) -> int:
+        """Bytes/memoryview passthrough — bulk payloads (stat-line blobs,
+        rendered alignment arrays) skip the str round-trip entirely."""
+        return self._w.write(data)
+
     def flush(self) -> None:
         pass
 
@@ -120,17 +125,23 @@ class GlibcWriter:
         _ACTIVE_WRITERS.append(self)
 
     def write(self, data) -> int:
-        b = data if isinstance(data, bytes) else bytes(data)
+        # memoryviews (e.g. a rendered uint8 array) stream through with
+        # zero large copies — only the sub-block tail is ever copied
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            b = data
+        else:
+            b = memoryview(data) if hasattr(data, "__buffer__") else bytes(data)
         total = len(self._tail) + len(b)
         keep = total % self.BLOCK
         if total < self.BLOCK:
-            self._tail += b
+            self._tail += bytes(b)
             return len(b)
         # pass the completed blocks through; at most one sub-block copy
         self._fh.write(self._tail)
         cut = len(b) - keep
-        self._fh.write(b[:cut])
-        self._tail = bytes(b[cut:])
+        mv = memoryview(b)
+        self._fh.write(mv[:cut])
+        self._tail = bytes(mv[cut:])
         return len(b)
 
     def flush(self) -> None:

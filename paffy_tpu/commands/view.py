@@ -105,6 +105,39 @@ def _render_alignment(t, i, out, pool):
         out.write(star[l:e].tobytes().decode("latin-1") + "\n")
 
 
+def _render_sliced(t, pool, blob, stats, out, max_bytes=64 << 20):
+    """Stream the -a render in ~max_bytes output slices: bounded memory
+    (the whole-batch render is ~3 bytes per cigar column) and zero
+    full-size copies (each slice's uint8 array passes to the writer as a
+    memoryview)."""
+    from paffy_tpu import native
+    n = len(t)
+    nl = np.flatnonzero(np.frombuffer(blob, dtype=np.uint8) == ord("\n"))
+    line_off = np.concatenate([[0], nl + 1])
+    # per-record render size: stat line + 3 bytes/column + 3 newlines per
+    # 150-column window (mirrors native.view_render_batch's size model)
+    ncols = (stats["matches"] + stats["mismatches"]
+             + stats["query_insert_bases"] + stats["query_delete_bases"])
+    sizes = np.diff(line_off) + 3 * ncols + 3 * ((ncols + 149) // 150)
+    cum = np.cumsum(sizes)
+    a = 0
+    while a < n:
+        base = int(cum[a - 1]) if a else 0
+        b = int(np.searchsorted(cum, base + max_bytes, side="right"))
+        b = min(max(b, a + 1), n)
+        sl = t.take(np.arange(a, b))
+        sub = blob[int(line_off[a]): int(line_off[b])]
+        r = native.view_render_batch(sl, pool, sub)
+        if r is None:              # no toolchain: per-record fallback
+            lines = sub.decode("latin-1").splitlines(keepends=True)
+            for i in range(b - a):
+                out.write(lines[i])
+                _render_alignment(sl, i, out, pool)
+        else:
+            out.write_bytes(memoryview(r))
+        a = b
+
+
 def main(argv) -> int:
     p = base_parser("paffy view", "Pretty print PAF alignments")
     p.add_argument("fasta_files", nargs="*")
@@ -160,21 +193,18 @@ def main(argv) -> int:
                         pretty_print_record(t, i, stats, out,
                                             args.includeAlignment, pool)
                 elif args.includeAlignment:
-                    # one native pass renders every record's 3-row/150-col
-                    # alignment windows interleaved with its stat line (the
-                    # per-record splitlines+numpy loop paid several full
-                    # passes per record)
-                    rendered = native.view_render_batch(t, pool, blob)
-                    if rendered is None:   # no toolchain: python fallback
-                        lines = blob.decode("latin-1").splitlines(
-                            keepends=True)
-                        for i in range(len(t)):
-                            out.write(lines[i])
-                            _render_alignment(t, i, out, pool)
-                    else:
-                        out.write(rendered.tobytes().decode("latin-1"))
+                    # one native pass per SLICE renders each record's
+                    # 3-row/150-col alignment windows interleaved with its
+                    # stat line.  The full batch's render is ~3 bytes per
+                    # cigar column (1.5 GB on a 4x golden batch) — slicing
+                    # bounds memory, and the uint8 array streams through
+                    # the writer as a memoryview with zero full-size
+                    # copies (the former tobytes+decode+latin-1-encode
+                    # round-trip tripled the runtime, measured 25 s of
+                    # pure copying on 1.5 GB).
+                    _render_sliced(t, pool, blob, stats, out)
                 else:
-                    out.write(blob.decode("latin-1"))
+                    out.write_bytes(blob)
             totals += np.array([stats["matches"].sum(),
                                 stats["mismatches"].sum(),
                                 stats["query_inserts"].sum(),

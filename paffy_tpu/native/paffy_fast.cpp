@@ -41,6 +41,7 @@
 #include <getopt.h>
 #include <unistd.h>
 #include <fcntl.h>
+#include <sys/mman.h>
 #include <errno.h>
 
 // ---- columnar passes from paffy_io.cpp (compiled into this executable)
@@ -88,6 +89,70 @@ void chain_dp(long long n,
               const long long* lo, const long long* hi,
               long long gap_open, long long gap_extend, long long max_gap,
               long long* cs_out, long long* pred_out);
+long long paf_scan(const char* buf, long long len,
+                   long long* n_records, long long* n_ops,
+                   long long* name_bytes);
+long long paf_fill(const char* buf, long long len,
+                   long long* ints, unsigned char* flags,
+                   unsigned char* type,
+                   long long* qname_off, long long* tname_off,
+                   char* name_pool,
+                   unsigned char* ops, long long* op_lens,
+                   long long* cig_off);
+void cigar_stats_raw(long long n_records, const char* buf,
+                     const long long* cg_start, const long long* cg_len,
+                     long long* out, long long n_threads);
+void trim_tails_raw(long long n_records, const char* buf,
+                    const long long* cg_start, const long long* cg_len,
+                    const unsigned char* strand,
+                    float score_fraction, float max_fraction,
+                    long long* cg_a, long long* cg_n,
+                    long long* dq1, long long* dt1,
+                    long long* dq2, long long* dt2,
+                    long long n_threads);
+long long invert_serialize_fill(long long n_records,
+                                const long long* ints,
+                                const unsigned char* flags,
+                                const unsigned char* type,
+                                const long long* qname_off,
+                                const long long* tname_off,
+                                const char* name_pool,
+                                const char* raw_buf,
+                                const long long* cg_start,
+                                const long long* cg_len,
+                                const long long* out_off,
+                                char* out, long long n_threads);
+long long shatter_violation(long long n_records, const long long* off,
+                            const unsigned char* ops, const long long* lens,
+                            const unsigned char* strand,
+                            const long long* qstart, const long long* qend,
+                            const long long* qlen,
+                            const long long* tstart, const long long* tend,
+                            const long long* tlen, long long* kind_out);
+void shatter_serialize_sizes(long long n_records,
+                             const long long* ints,
+                             const unsigned char* flags,
+                             const unsigned char* type,
+                             const long long* qname_off,
+                             const long long* tname_off,
+                             const char* name_pool,
+                             const unsigned char* ops,
+                             const long long* op_lens,
+                             const long long* cig_off,
+                             long long* sizes,
+                             long long n_threads);
+long long shatter_serialize_fill(long long n_records,
+                                 const long long* ints,
+                                 const unsigned char* flags,
+                                 const unsigned char* type,
+                                 const long long* qname_off,
+                                 const long long* tname_off,
+                                 const char* name_pool,
+                                 const unsigned char* ops,
+                                 const long long* op_lens,
+                                 const long long* cig_off,
+                                 const long long* out_off,
+                                 char* out, long long n_threads);
 }
 
 namespace {
@@ -106,9 +171,14 @@ void log_info(const char* fmt, ...) {
     fputc('\n', stderr);
 }
 
+// Original process argv (subcommand mains see a shifted argv; the
+// re-exec must rebuild the FULL command line including the subcommand)
+int g_argc = 0;
+char** g_argv = nullptr;
+
 // Re-exec the Python lane for anything this binary does not model exactly
 // (usage/help text, unknown-flag rc, debug logging, profiler traces).
-[[noreturn]] void reexec_python(int argc, char** argv) {
+[[noreturn]] void reexec_python_full(int argc, char** argv) {
     char exe[4096];
     ssize_t n = readlink("/proc/self/exe", exe, sizeof exe - 1);
     if (n <= 0) _exit(3);
@@ -131,6 +201,33 @@ void log_info(const char* fmt, ...) {
     // the repo launcher reproduces bin/paffy's former behavior exactly
     execvp("python3", nargv.data());
     _exit(3);
+}
+
+// Subcommand mains call this with their SHIFTED argv — always re-exec
+// with the original full command line.
+[[noreturn]] void reexec_python(int, char**) {
+    reexec_python_full(g_argc, g_argv);
+}
+
+// Defer to Python AFTER the input was already consumed: when it came
+// from stdin, replay the buffered bytes to the child through a memfd
+// dup2'd onto fd 0 (a plain re-exec would hand the child an empty pipe).
+[[noreturn]] void defer_python(const char* input_path,
+                               const std::vector<char>& buf) {
+    if (!input_path) {
+        int fd = (int)memfd_create("paffy_stdin", 0);
+        if (fd >= 0) {
+            size_t o = 0;
+            while (o < buf.size()) {
+                ssize_t w = write(fd, buf.data() + o, buf.size() - o);
+                if (w <= 0) break;
+                o += (size_t)w;
+            }
+            lseek(fd, 0, SEEK_SET);
+            dup2(fd, 0);
+        }
+    }
+    reexec_python_full(g_argc, g_argv);
 }
 
 // ------------------------------------------------------------------ input
@@ -206,7 +303,8 @@ size_t line_start_offset(const std::vector<char>& buf, long long line) {
 // (SIGSEGV, buffer tail lost); >= 12-token semantic failures (strand / tp
 // char) go through st_errAbort (exit flushes).  Classes match
 // commands/common.stream_tables.
-bool parse_raw(RawTable& t) {
+bool parse_raw(RawTable& t, long long validate = 0,
+               long long* noncanon_out = nullptr) {
     long long len = (long long)t.buf.size();
     long long n_records = 0, name_bytes = 0;
     long long bad = paf_scan_raw(t.buf.data(), len, &n_records, &name_bytes);
@@ -229,11 +327,73 @@ bool parse_raw(RawTable& t) {
     bad = paf_fill_raw(t.buf.data(), len, t.ints.data(), t.flags.data(),
                        t.type.data(), t.qname_off.data(), t.tname_off.data(),
                        t.name_pool.data(), t.cg_start.data(), t.cg_len.data(),
-                       /*validate=*/0, &noncanon);
+                       validate, &noncanon);
+    if (noncanon_out) *noncanon_out = noncanon;
     if (bad > 0) {
         // semantic failure at an earlier line wins over the scan's
         // structural failure (the reference dies at the first bad record)
         t.pending = ERR_ABORT;
+        t.n = bad - 1;
+    }
+    return true;
+}
+
+// Full-parse table for the commands whose walks need op arrays (shatter).
+struct FullTable {
+    std::vector<char> buf;
+    long long n = 0;
+    std::vector<long long> ints;
+    std::vector<unsigned char> flags, type;
+    std::vector<long long> qname_off, tname_off;
+    std::vector<char> name_pool;
+    std::vector<unsigned char> ops;
+    std::vector<long long> op_lens, cig_off;
+    ErrClass pending = ERR_NONE;
+    long long* R(long long i) { return ints.data() + i * 13; }
+    bool strand(long long i) const { return flags[i] & 1; }
+};
+
+bool parse_full(FullTable& t) {
+    long long len = (long long)t.buf.size();
+    long long n_records = 0, n_ops = 0, name_bytes = 0;
+    long long bad = paf_scan(t.buf.data(), len, &n_records, &n_ops,
+                             &name_bytes);
+    if (bad > 0) {
+        // scan rejects blank / sub-12-token lines (SIGSEGV class) AND bad
+        // cigar characters (errAbort class) — classify by strtok token
+        // count like commands/common._segv_class
+        size_t off = line_start_offset(t.buf, bad);
+        const char* p = t.buf.data() + off;
+        const char* le = (const char*)memchr(p, '\n', t.buf.size() - off);
+        if (!le) le = t.buf.data() + t.buf.size();
+        int tokens = 0;
+        for (const char* s = p; s < le; ) {
+            while (s < le && *s == '\t') ++s;
+            if (s >= le) break;
+            ++tokens;
+            while (s < le && *s != '\t') ++s;
+        }
+        t.pending = tokens < 12 ? ERR_SEGV : ERR_ABORT;
+        len = (long long)off;
+        bad = paf_scan(t.buf.data(), len, &n_records, &n_ops, &name_bytes);
+        if (bad > 0) return false;           // cannot happen: clean prefix
+    }
+    t.n = n_records;
+    t.ints.resize(n_records * 13);
+    t.flags.resize(n_records);
+    t.type.resize(n_records);
+    t.qname_off.resize(n_records);
+    t.tname_off.resize(n_records);
+    t.name_pool.resize(name_bytes ? name_bytes : 1);
+    t.ops.resize(n_ops ? n_ops : 1);
+    t.op_lens.resize(n_ops ? n_ops : 1);
+    t.cig_off.resize(n_records + 1);
+    bad = paf_fill(t.buf.data(), len, t.ints.data(), t.flags.data(),
+                   t.type.data(), t.qname_off.data(), t.tname_off.data(),
+                   t.name_pool.data(), t.ops.data(), t.op_lens.data(),
+                   t.cig_off.data());
+    if (bad > 0) {
+        t.pending = ERR_ABORT;   // semantic failure (strand/tp), >= 12 tokens
         t.n = bad - 1;
     }
     return true;
@@ -272,12 +432,40 @@ int check_coords(const RawTable& t, long long i) {
     return -1;
 }
 
-const char* CHECK_MSG[4] = {
+const char* CHECK_MSG[6] = {
     "Paf query start coordinates are invalid",
     "Paf query end coordinates are invalid",
     "Paf target start coordinates are invalid",
     "Paf target end coordinates are invalid",
+    "Paf cigar alignment does not match query length",
+    "Paf cigar alignment does not match target length",
 };
+
+// [n,7] per-record cigar stats tokenized from the raw cg text
+// (cigar_stats_raw layout: M+= cols, X cols, I ops, D ops, I bases,
+// D bases, M cols)
+std::vector<long long> raw_stats(const RawTable& t) {
+    std::vector<long long> st(t.n * 7);
+    if (t.n)
+        cigar_stats_raw(t.n, t.buf.data(), t.cg_start.data(),
+                        t.cg_len.data(), st.data(), g_threads());
+    return st;
+}
+
+// Full paf_check of a raw record including the span checks the
+// reference's parse_cigar=1 commands get (impl/paf.c:427-461): coords
+// first, then query span, then target span.  st = raw_stats row base.
+int check_full(const RawTable& t, long long i, const long long* st) {
+    int code = check_coords(t, i);
+    if (code >= 0) return code;
+    if (!(t.flags[i] & 2)) return -1;
+    const long long* R = t.R(i);
+    const long long* o = st + i * 7;
+    const long long aligned = o[0] + o[1];
+    if (aligned + o[4] != R[2] - R[1]) return 4;
+    if (aligned + o[5] != R[5] - R[4]) return 5;
+    return -1;
+}
 
 // name interning: string_view keys point into the table's name pool
 struct SvHash {
@@ -806,12 +994,554 @@ int chain_main(int argc, char** argv) {
     return 0;
 }
 
+// Shared tail for the streaming-shaped commands: write the serialized
+// bytes of `order` with the right death class, report, return rc.
+int finish_stream(const RawTable& t, const std::vector<long long>& order,
+                  const char* cmd, const char* out_path, ErrClass err,
+                  const char* err_msg) {
+    std::vector<char> out;
+    serialize(t, order, out);
+    int fd = 1;
+    if (out_path) {
+        fd = open(out_path, O_WRONLY | O_CREAT | O_TRUNC, 0666);
+        if (fd < 0) {
+            fprintf(stderr, "paffy %s: cannot open output: %s\n", cmd,
+                    out_path);
+            return 1;
+        }
+    }
+    release(fd, out, err);
+    if (out_path) close(fd);
+    if (err != ERR_NONE) {
+        fprintf(stderr, "paffy %s: %s\n", cmd,
+                err_msg ? err_msg : "malformed paf input");
+        return 1;
+    }
+    log_info("Paffy %s is done!, 0 seconds have elapsed", cmd);
+    return 0;
+}
+
+// ------------------------------------------------------------------ invert
+
+// paffy invert (impl/paf_invert.c:84-89): per record invert, paf_check,
+// write.  The cigar transform (I<->D swap, token reversal on '-') runs in
+// invert_serialize_fill straight over the raw cg bytes.
+int invert_main(int argc, char** argv) {
+    static struct option lopts[] = {
+        {"logLevel", required_argument, 0, 'l'},
+        {"inputFile", required_argument, 0, 'i'},
+        {"outputFile", required_argument, 0, 'o'},
+        {"help", no_argument, 0, 'h'},
+        {0, 0, 0, 0}};
+    CommonOpts c;
+    const char* log_level = nullptr;
+    opterr = 0;
+    int key;
+    while ((key = getopt_long(argc, argv, "l:i:o:h", lopts, nullptr)) != -1) {
+        switch (key) {
+            case 'l': log_level = optarg; break;
+            case 'i': c.input = optarg; break;
+            case 'o': c.output = optarg; break;
+            default: reexec_python(argc, argv);
+        }
+    }
+    if (optind < argc) reexec_python(argc, argv);
+    set_log_level(log_level, argc, argv);
+    log_info("Input file string : %s", c.input ? c.input : "None");
+    log_info("Output file string : %s", c.output ? c.output : "None");
+
+    RawTable t;
+    long long noncanon = 0;
+    if (!read_all(c.input, t.buf) || !parse_raw(t, 1, &noncanon)) {
+        fprintf(stderr, "paffy invert: cannot read input\n");
+        return 1;
+    }
+    if (noncanon) defer_python(c.input, t.buf);  // leading-zero lengths:
+                                              // the full parser canonicalizes
+    const long long n = t.n;
+    // swap query/target columns + name roles IN PLACE
+    // (paf_invert, impl/paf.c:463-490)
+    for (long long i = 0; i < n; ++i) {
+        long long* R = t.R(i);
+        std::swap(R[0], R[3]);
+        std::swap(R[1], R[4]);
+        std::swap(R[2], R[5]);
+    }
+    std::swap(t.qname_off, t.tname_off);
+
+    // serialize ALL records (sizes are cigar-transform-invariant: I<->D
+    // swap / reversal preserves byte length), then find the first bad
+    // record: coords and spans in per-record check order, earliest wins
+    std::vector<long long> sizes(n), off(n + 1);
+    off[0] = 0;
+    if (n) {
+        paf_serialize_sizes(n, t.ints.data(), t.flags.data(),
+                            t.type.data(), t.qname_off.data(),
+                            t.tname_off.data(), t.name_pool.data(),
+                            nullptr, nullptr, nullptr, nullptr,
+                            t.cg_len.data(), sizes.data(), g_threads());
+        for (long long r = 0; r < n; ++r) off[r + 1] = off[r] + sizes[r];
+    }
+    std::vector<char> out(off[n]);
+    long long span_bad = -1;
+    if (n) {
+        span_bad = invert_serialize_fill(
+            n, t.ints.data(), t.flags.data(), t.type.data(),
+            t.qname_off.data(), t.tname_off.data(), t.name_pool.data(),
+            t.buf.data(), t.cg_start.data(), t.cg_len.data(),
+            off.data(), out.data(), g_threads());
+        if (span_bad == -2) defer_python(c.input, t.buf);  // malformed: defer
+    }
+    long long bad = -1;
+    int code = -1;
+    for (long long i = 0; i < n; ++i) {
+        int cc = check_coords(t, i);
+        if (cc >= 0) { bad = i; code = cc; break; }
+        if (i == span_bad) break;   // span failure at this record wins next
+    }
+    if (span_bad >= 0 && (bad < 0 || span_bad < bad)) {
+        bad = span_bad;
+        // fill reports one span condition; q-axis checked first
+        code = 4;
+    }
+    ErrClass err = t.pending;
+    const char* msg = nullptr;
+    if (bad >= 0) {
+        err = ERR_ABORT;            // paf_check -> st_errAbort: flush
+        msg = CHECK_MSG[code];
+        out.resize(off[bad]);
+    }
+    int fd = 1;
+    if (c.output) {
+        fd = open(c.output, O_WRONLY | O_CREAT | O_TRUNC, 0666);
+        if (fd < 0) {
+            fprintf(stderr, "paffy invert: cannot open output: %s\n",
+                    c.output);
+            return 1;
+        }
+    }
+    release(fd, out, err);
+    if (c.output) close(fd);
+    if (err != ERR_NONE) {
+        fprintf(stderr, "paffy invert: %s\n",
+                msg ? msg : "malformed paf input");
+        return 1;
+    }
+    log_info("Paf invert is done!, 0 seconds have elapsed");
+    return 0;
+}
+
+// ------------------------------------------------------------------ filter
+
+// paffy filter (impl/paf_filter.c:123-155): per-record stats from the raw
+// cg text, keep-condition with C float identity compares (NaN on
+// cigarless records fails >= exactly as in the reference).
+int filter_main(int argc, char** argv) {
+    static struct option lopts[] = {
+        {"logLevel", required_argument, 0, 'l'},
+        {"inputFile", required_argument, 0, 'i'},
+        {"outputFile", required_argument, 0, 'o'},
+        {"minChainScore", required_argument, 0, 's'},
+        {"minAlignmentScore", required_argument, 0, 't'},
+        {"minIdentity", required_argument, 0, 'u'},
+        {"minIdentityWithGaps", required_argument, 0, 'v'},
+        {"maxTileLevel", required_argument, 0, 'w'},
+        {"invert", no_argument, 0, 'x'},
+        {"help", no_argument, 0, 'h'},
+        {0, 0, 0, 0}};
+    CommonOpts c;
+    long long min_chain = -1, min_align = -1, max_tile = -1;
+    double min_ident = -1.0, min_identg = -1.0;
+    bool inv = false;
+    const char* log_level = nullptr;
+    opterr = 0;
+    int key;
+    bool ok = true;
+    while ((key = getopt_long(argc, argv, "l:i:o:s:t:u:v:w:xh", lopts,
+                              nullptr)) != -1) {
+        switch (key) {
+            case 'l': log_level = optarg; break;
+            case 'i': c.input = optarg; break;
+            case 'o': c.output = optarg; break;
+            case 's': min_chain = parse_ll(optarg, &ok); break;
+            case 't': min_align = parse_ll(optarg, &ok); break;
+            case 'w': max_tile = parse_ll(optarg, &ok); break;
+            case 'u': {
+                char* e = nullptr;
+                min_ident = strtod(optarg, &e);
+                ok = e && *e == '\0' && e != optarg;
+                break;
+            }
+            case 'v': {
+                char* e = nullptr;
+                min_identg = strtod(optarg, &e);
+                ok = e && *e == '\0' && e != optarg;
+                break;
+            }
+            case 'x': inv = true; break;
+            default: reexec_python(argc, argv);
+        }
+        if (!ok) reexec_python(argc, argv);
+    }
+    if (optind < argc) reexec_python(argc, argv);
+    set_log_level(log_level, argc, argv);
+    log_info("Input file string : %s", c.input ? c.input : "None");
+    log_info("Output file string : %s", c.output ? c.output : "None");
+
+    RawTable t;
+    long long noncanon = 0;
+    if (!read_all(c.input, t.buf) || !parse_raw(t, 1, &noncanon)) {
+        fprintf(stderr, "paffy filter: cannot read input\n");
+        return 1;
+    }
+    if (noncanon) defer_python(c.input, t.buf);
+    std::vector<long long> st = raw_stats(t);
+    std::vector<long long> kept;
+    kept.reserve(t.n);
+    const float fu = (float)min_ident, fv = (float)min_identg;
+    for (long long i = 0; i < t.n; ++i) {
+        const long long* o = st.data() + i * 7;
+        const long long m = o[0], x = o[1], qib = o[4], qdb = o[5];
+        const float ident = (float)m / (float)(m + x);
+        const float identg = (float)m / (float)(m + x + qib + qdb);
+        const long long* R = t.R(i);
+        const bool passes = R[9] >= min_align && R[12] >= min_chain
+            && (max_tile == -1 || R[10] <= max_tile)
+            && ident >= fu && identg >= fv;
+        if (inv ? !passes : passes) kept.push_back(i);
+    }
+    return finish_stream(t, kept, "filter", c.output, t.pending, nullptr);
+}
+
+// -------------------------------------------------------------------- trim
+
+// paffy trim (impl/paf_trim.c:116-126, identity mode): the kept cigar is a
+// contiguous substring of the raw cg text (trim_tails_raw), coordinates
+// shift by the consumed deltas, then per-record paf_check with spans.
+int trim_main(int argc, char** argv) {
+    static struct option lopts[] = {
+        {"logLevel", required_argument, 0, 'l'},
+        {"inputFile", required_argument, 0, 'i'},
+        {"outputFile", required_argument, 0, 'o'},
+        {"trimIdentity", required_argument, 0, 'r'},
+        {"trimFraction", required_argument, 0, 't'},
+        {"fixedTrim", no_argument, 0, 'f'},
+        {"help", no_argument, 0, 'h'},
+        {0, 0, 0, 0}};
+    CommonOpts c;
+    double trim_ident = 0.05, trim_frac = 1.0;
+    const char* log_level = nullptr;
+    opterr = 0;
+    int key;
+    bool ok = true;
+    while ((key = getopt_long(argc, argv, "l:i:o:r:t:fh", lopts, nullptr))
+           != -1) {
+        switch (key) {
+            case 'l': log_level = optarg; break;
+            case 'i': c.input = optarg; break;
+            case 'o': c.output = optarg; break;
+            case 'r': {
+                char* e = nullptr;
+                trim_ident = strtod(optarg, &e);
+                ok = e && *e == '\0' && e != optarg;
+                break;
+            }
+            case 't': {
+                char* e = nullptr;
+                trim_frac = strtod(optarg, &e);
+                ok = e && *e == '\0' && e != optarg;
+                break;
+            }
+            case 'f': reexec_python(argc, argv);  // fixed trim: parsed path
+            default: reexec_python(argc, argv);
+        }
+        if (!ok) reexec_python(argc, argv);
+    }
+    if (optind < argc) reexec_python(argc, argv);
+    set_log_level(log_level, argc, argv);
+    log_info("Input file string : %s", c.input ? c.input : "None");
+    log_info("Output file string : %s", c.output ? c.output : "None");
+
+    RawTable t;
+    long long noncanon = 0;
+    if (!read_all(c.input, t.buf) || !parse_raw(t, 1, &noncanon)) {
+        fprintf(stderr, "paffy trim: cannot read input\n");
+        return 1;
+    }
+    if (noncanon) defer_python(c.input, t.buf);
+    const long long n = t.n;
+    if (n) {
+        std::vector<unsigned char> strand(n);
+        for (long long i = 0; i < n; ++i) strand[i] = t.flags[i] & 1;
+        std::vector<long long> cg_a(n), cg_n(n), dq1(n), dt1(n), dq2(n),
+            dt2(n);
+        trim_tails_raw(n, t.buf.data(), t.cg_start.data(), t.cg_len.data(),
+                       strand.data(), (float)trim_ident, (float)trim_frac,
+                       cg_a.data(), cg_n.data(), dq1.data(), dt1.data(),
+                       dq2.data(), dt2.data(), g_threads());
+        // coordinate application (ops/tailtrim.py raw path): pass 1 trims
+        // the front (query from qstart '+' / qend '-'), pass 2 the
+        // inverted frame
+        for (long long i = 0; i < n; ++i) {
+            long long* R = t.R(i);
+            const bool s = strand[i];
+            R[1] += (s ? dq1[i] : 0) + dq2[i];
+            R[2] -= s ? 0 : dq1[i];
+            R[4] += dt1[i] + (s ? dt2[i] : 0);
+            R[5] -= s ? 0 : dt2[i];
+            t.cg_start[i] = cg_a[i];
+            t.cg_len[i] = cg_n[i];
+            if (cg_n[i] == 0) t.flags[i] &= ~2;  // fully trimmed away
+        }
+    }
+    // paf_check with raw spans, record-at-a-time order
+    std::vector<long long> st = raw_stats(t);
+    std::vector<long long> order;
+    order.reserve(n);
+    ErrClass err = t.pending;
+    const char* msg = nullptr;
+    for (long long i = 0; i < n; ++i) {
+        int code = check_full(t, i, st.data());
+        if (code >= 0) {
+            err = ERR_ABORT;
+            msg = CHECK_MSG[code];
+            break;
+        }
+        order.push_back(i);
+    }
+    return finish_stream(t, order, "trim", c.output, err, msg);
+}
+
+// ----------------------------------------------------------------- dechunk
+
+// paffy dechunk (impl/paf_dechunk.c:24-38,114-117): decode name|len|start
+// headers (sscanf leading-integer semantics; missing fields are the
+// reference's assert class), shift coordinates, paf_check with spans.
+int dechunk_main(int argc, char** argv) {
+    static struct option lopts[] = {
+        {"logLevel", required_argument, 0, 'l'},
+        {"inputFile", required_argument, 0, 'i'},
+        {"outputFile", required_argument, 0, 'o'},
+        {"query", no_argument, 0, 'q'},
+        {"target", no_argument, 0, 't'},
+        {"help", no_argument, 0, 'h'},
+        {0, 0, 0, 0}};
+    CommonOpts c;
+    bool only_query = false, only_target = false;
+    const char* log_level = nullptr;
+    opterr = 0;
+    int key;
+    while ((key = getopt_long(argc, argv, "l:i:o:qth", lopts, nullptr))
+           != -1) {
+        switch (key) {
+            case 'l': log_level = optarg; break;
+            case 'i': c.input = optarg; break;
+            case 'o': c.output = optarg; break;
+            case 'q': only_query = true; break;
+            case 't': only_target = true; break;
+            default: reexec_python(argc, argv);
+        }
+    }
+    if (optind < argc) reexec_python(argc, argv);
+    set_log_level(log_level, argc, argv);
+    log_info("Input file string : %s", c.input ? c.input : "None");
+    log_info("Output file string : %s", c.output ? c.output : "None");
+    const bool fix_query = !only_target;
+    const bool fix_target = !only_query;
+
+    RawTable t;
+    long long noncanon = 0;
+    if (!read_all(c.input, t.buf) || !parse_raw(t, 1, &noncanon)) {
+        fprintf(stderr, "paffy dechunk: cannot read input\n");
+        return 1;
+    }
+    if (noncanon) defer_python(c.input, t.buf);
+    const long long n = t.n;
+
+    // decoded-name pool: one decode per distinct header, sscanf-style
+    // leading-integer parse of the last two '|' fields
+    struct Dec { long long off; long long start; long long length; bool ok; };
+    std::unordered_map<std::string_view, Dec> cache;
+    std::vector<char> pool2;
+    auto decode = [&](const char* nm) -> const Dec& {
+        auto it = cache.find(std::string_view(nm));
+        if (it != cache.end()) return it->second;
+        Dec d{-1, 0, 0, false};
+        const char* end = nm + strlen(nm);
+        const char* p2 = nullptr;   // last '|'
+        const char* p1 = nullptr;   // second-to-last '|'
+        for (const char* s = nm; s < end; ++s)
+            if (*s == '|') { p1 = p2; p2 = s; }
+        if (p1) {
+            char* e = nullptr;
+            errno = 0;
+            long long start = strtoll(p2 + 1, &e, 10);
+            bool ok1 = e != p2 + 1 && errno == 0;
+            long long length = strtoll(p1 + 1, &e, 10);
+            bool ok2 = e != p1 + 1 && errno == 0;
+            if (ok1 && ok2) {
+                d.off = (long long)pool2.size();
+                pool2.insert(pool2.end(), nm, p1);
+                pool2.push_back('\0');
+                d.start = start;
+                d.length = length;
+                d.ok = true;
+            }
+        }
+        return cache.emplace(std::string_view(nm), d).first->second;
+    };
+
+    std::vector<long long> q_off2(n, -1), t_off2(n, -1);
+    long long dec_bad = -1;
+    for (long long i = 0; i < n && dec_bad < 0; ++i) {
+        long long* R = t.R(i);
+        if (fix_query) {
+            const Dec& d = decode(t.qname(i));
+            if (!d.ok) { dec_bad = i; break; }
+            q_off2[i] = d.off;
+            R[1] += d.start; R[2] += d.start; R[0] = d.length;
+        }
+        if (fix_target) {
+            const Dec& d = decode(t.tname(i));
+            if (!d.ok) { dec_bad = i; break; }
+            t_off2[i] = d.off;
+            R[4] += d.start; R[5] += d.start; R[3] = d.length;
+        }
+    }
+    // merge pools: rebase decoded offsets after the original pool
+    const long long base = (long long)t.name_pool.size();
+    t.name_pool.insert(t.name_pool.end(), pool2.begin(), pool2.end());
+    for (long long i = 0; i < n; ++i) {
+        if (q_off2[i] >= 0) t.qname_off[i] = base + q_off2[i];
+        if (t_off2[i] >= 0) t.tname_off[i] = base + t_off2[i];
+    }
+
+    std::vector<long long> st = raw_stats(t);
+    std::vector<long long> order;
+    order.reserve(n);
+    ErrClass err = t.pending;
+    const char* msg = nullptr;
+    const long long limit = dec_bad >= 0 ? dec_bad : n;
+    for (long long i = 0; i < limit; ++i) {
+        int code = check_full(t, i, st.data());
+        if (code >= 0) {
+            err = ERR_ABORT;
+            msg = CHECK_MSG[code];
+            break;
+        }
+        order.push_back(i);
+    }
+    if ((long long)order.size() == limit && dec_bad >= 0) {
+        err = ERR_SEGV;   // decode_fasta_header assert: buffer tail lost
+        msg = "fasta header lacks |length|start provenance fields";
+    }
+    return finish_stream(t, order, "dechunk", c.output, err, msg);
+}
+
+// ----------------------------------------------------------------- shatter
+
+// paffy shatter (impl/paf.c:600-663 via impl/paf_shatter.c): full cigar
+// parse, walk-assert validation, fused per-M-run line emission.
+int shatter_main(int argc, char** argv) {
+    static struct option lopts[] = {
+        {"logLevel", required_argument, 0, 'l'},
+        {"inputFile", required_argument, 0, 'i'},
+        {"outputFile", required_argument, 0, 'o'},
+        {"help", no_argument, 0, 'h'},
+        {0, 0, 0, 0}};
+    CommonOpts c;
+    const char* log_level = nullptr;
+    opterr = 0;
+    int key;
+    while ((key = getopt_long(argc, argv, "l:i:o:h", lopts, nullptr)) != -1) {
+        switch (key) {
+            case 'l': log_level = optarg; break;
+            case 'i': c.input = optarg; break;
+            case 'o': c.output = optarg; break;
+            default: reexec_python(argc, argv);
+        }
+    }
+    if (optind < argc) reexec_python(argc, argv);
+    set_log_level(log_level, argc, argv);
+    log_info("Input file string : %s", c.input ? c.input : "None");
+    log_info("Output file string : %s", c.output ? c.output : "None");
+
+    FullTable t;
+    if (!read_all(c.input, t.buf) || !parse_full(t)) {
+        fprintf(stderr, "paffy shatter: cannot read input\n");
+        return 1;
+    }
+    long long n = t.n;
+    ErrClass err = t.pending;
+    const char* msg = nullptr;
+    if (n) {
+        // walk-assert + per-shard check validation, one native pass
+        std::vector<unsigned char> strand(n);
+        std::vector<long long> qs(n), qe(n), ql(n), ts(n), te(n), tl(n);
+        for (long long i = 0; i < n; ++i) {
+            const long long* R = t.R(i);
+            strand[i] = t.flags[i] & 1;
+            ql[i] = R[0]; qs[i] = R[1]; qe[i] = R[2];
+            tl[i] = R[3]; ts[i] = R[4]; te[i] = R[5];
+        }
+        long long kind = 0;
+        long long bad = shatter_violation(
+            n, t.cig_off.data(), t.ops.data(), t.op_lens.data(),
+            strand.data(), qs.data(), qe.data(), ql.data(), ts.data(),
+            te.data(), tl.data(), &kind);
+        if (bad >= 0) {
+            n = bad;                      // shards of earlier records emit
+            err = kind == 1 ? ERR_SEGV : ERR_ABORT;
+            msg = kind == 1 ? "shatter walk assert"
+                            : "shatter shard check failed";
+        }
+    }
+    std::vector<char> out;
+    if (n) {
+        std::vector<long long> sizes(n), off(n + 1);
+        shatter_serialize_sizes(n, t.ints.data(), t.flags.data(),
+                                t.type.data(), t.qname_off.data(),
+                                t.tname_off.data(), t.name_pool.data(),
+                                t.ops.data(), t.op_lens.data(),
+                                t.cig_off.data(), sizes.data(), g_threads());
+        off[0] = 0;
+        for (long long r = 0; r < n; ++r) off[r + 1] = off[r] + sizes[r];
+        out.resize(off[n]);
+        if (shatter_serialize_fill(
+                n, t.ints.data(), t.flags.data(), t.type.data(),
+                t.qname_off.data(), t.tname_off.data(), t.name_pool.data(),
+                t.ops.data(), t.op_lens.data(), t.cig_off.data(),
+                off.data(), out.data(), g_threads()))
+            defer_python(c.input, t.buf);  // drift guard: defer
+    }
+    int fd = 1;
+    if (c.output) {
+        fd = open(c.output, O_WRONLY | O_CREAT | O_TRUNC, 0666);
+        if (fd < 0) {
+            fprintf(stderr, "paffy shatter: cannot open output: %s\n",
+                    c.output);
+            return 1;
+        }
+    }
+    release(fd, out, err);
+    if (c.output) close(fd);
+    if (err != ERR_NONE) {
+        fprintf(stderr, "paffy shatter: %s\n",
+                msg ? msg : "malformed paf input");
+        return 1;
+    }
+    log_info("Paf shatter is done!, 0 seconds have elapsed");
+    return 0;
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
-    if (argc < 2) reexec_python(argc, argv);
+    g_argc = argc;
+    g_argv = argv;
+    if (argc < 2) reexec_python_full(argc, argv);
     if (getenv("PAFFY_TPU_PROFILE") || getenv("PAFFY_TPU_NO_FAST"))
-        reexec_python(argc, argv);
+        reexec_python_full(argc, argv);
     std::string cmd(argv[1]);
     // getopt scans argv[1:]: shift so the subcommand is not an operand
     int sub_argc = argc - 1;
@@ -820,5 +1550,10 @@ int main(int argc, char** argv) {
     if (cmd == "dedupe") return dedupe_main(sub_argc, sub_argv);
     if (cmd == "split_file") return split_file_main(sub_argc, sub_argv);
     if (cmd == "chain") return chain_main(sub_argc, sub_argv);
-    reexec_python(argc, argv);
+    if (cmd == "invert") return invert_main(sub_argc, sub_argv);
+    if (cmd == "filter") return filter_main(sub_argc, sub_argv);
+    if (cmd == "trim") return trim_main(sub_argc, sub_argv);
+    if (cmd == "dechunk") return dechunk_main(sub_argc, sub_argv);
+    if (cmd == "shatter") return shatter_main(sub_argc, sub_argv);
+    reexec_python_full(argc, argv);
 }

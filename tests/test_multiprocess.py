@@ -42,13 +42,14 @@ def _free_port() -> int:
         s.close()
 
 
-def _launch(pid: int, port: int, args: list[str], log_path: pathlib.Path):
+def _launch(pid: int, port: int, args: list[str], log_path: pathlib.Path,
+            n_proc: int = N_PROC):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PAFFY_TPU_PLATFORM"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env["PAFFY_TPU_COORDINATOR"] = f"localhost:{port}"
-    env["PAFFY_TPU_NUM_PROCESSES"] = str(N_PROC)
+    env["PAFFY_TPU_NUM_PROCESSES"] = str(n_proc)
     env["PAFFY_TPU_PROCESS_ID"] = str(pid)
     log = open(log_path, "w")
     proc = subprocess.Popen(
@@ -58,19 +59,32 @@ def _launch(pid: int, port: int, args: list[str], log_path: pathlib.Path):
     return proc
 
 
-def _run_world(port: int, args: list[str], tmp: pathlib.Path, tag: str):
-    procs = [_launch(pid, port, args, tmp / f"proc{pid}.{tag}.log")
-             for pid in range(N_PROC)]
+def _run_world(port: int, args: list[str], tmp: pathlib.Path, tag: str,
+               n_proc: int = N_PROC, kill_pid: int | None = None,
+               allow_fail: bool = False):
+    procs = [_launch(pid, port, args, tmp / f"proc{pid}.{tag}.log", n_proc)
+             for pid in range(n_proc)]
     try:
+        if kill_pid is not None:
+            import time
+            time.sleep(2.0)            # mid-startup/mid-work kill
+            procs[kill_pid].kill()
         for p in procs:
-            p.wait(timeout=600)
+            try:
+                p.wait(timeout=120 if kill_pid is not None else 600)
+            except subprocess.TimeoutExpired:
+                if kill_pid is None and not allow_fail:
+                    raise
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+                p.wait(timeout=30)
             p._log.close()
     logs = [(tmp / f"proc{pid}.{tag}.log").read_text()
-            for pid in range(N_PROC)]
+            for pid in range(n_proc)]
+    if allow_fail:
+        return logs
     if any(p.returncode != 0 for p in procs):
         joined = "\n".join(logs)
         if "Failed to connect" in joined or "Address already in use" in joined:
@@ -127,4 +141,56 @@ def test_rerun_after_corrupted_shard_is_idempotent(workload):
     victim.write_text("garbage\tnot-a-paf\n")
     out.unlink()
     _run_world(_free_port(), args, tmp, "run3")
+    assert out.read_text() == expected
+
+
+N_PROC4 = 4
+N_SHARDS7 = 7          # uneven: 7 shards round-robin over 4 processes
+
+
+@pytest.fixture(scope="module")
+def workload7(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mp4")
+    seqs, lines = make_workload(seed=13, length=22000, n_windows=21,
+                                window=1700, step=1000)
+    (tmp / "in.paf").write_text("\n".join(lines) + "\n")
+    with open(tmp / "seqs.fa", "w") as fh:
+        for n, s in seqs.items():
+            fh.write(f">{n}\n{s}\n")
+    t = pafio.parse_paf_text((tmp / "in.paf").read_text())
+    expected = pafio.serialize_paf(run_pipeline(t, seqs, n_shards=N_SHARDS7))
+    return tmp, expected
+
+
+def test_four_process_uneven_shards(workload7):
+    """4 real processes, 7 shards: the s % pcount round-robin leaves
+    process 3 with one shard and the others with two — gathered output
+    byte-identical to single-process, every process provably executed."""
+    tmp, expected = workload7
+    out = tmp / "out4.paf"
+    args = [str(tmp / "in.paf"), str(tmp / "seqs.fa"), str(out),
+            "--shards", str(N_SHARDS7), "--workdir", str(tmp / "shards4")]
+    _run_world(_free_port(), args, tmp, "p4run1", n_proc=N_PROC4)
+    assert out.read_text() == expected
+    for pid in range(N_PROC4):
+        assert (tmp / "shards4" / f".reach_p{pid}").exists()
+    assert len(sorted((tmp / "shards4").glob("shard_*.paf"))) == N_SHARDS7
+
+
+def test_killed_process_world_rerun(workload7):
+    """One process killed MID-RUN (not just a torn file): the surviving
+    world cannot complete (the coordination barrier never clears), and a
+    fresh rerun over the same workdir is idempotent — partial shard files
+    from the dead world are either reused (valid) or rewritten."""
+    tmp, expected = workload7
+    out = tmp / "out5.paf"
+    args = [str(tmp / "in.paf"), str(tmp / "seqs.fa"), str(out),
+            "--shards", str(N_SHARDS7), "--workdir", str(tmp / "shards5")]
+    _run_world(_free_port(), args, tmp, "p4kill", n_proc=N_PROC4,
+               kill_pid=3, allow_fail=True)
+    # the dead world must not have produced a (complete) gathered output
+    # that we then trust blindly — rerun and require the exact bytes
+    if out.exists():
+        out.unlink()
+    _run_world(_free_port(), args, tmp, "p4rerun", n_proc=N_PROC4)
     assert out.read_text() == expected

@@ -121,6 +121,8 @@ def main(argv=None) -> int:
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of command names")
+    ap.add_argument("--no-rss", action="store_true",
+                    help="skip the peak-RSS measurement pass")
     args = ap.parse_args(argv)
 
     bins = build_reference()
@@ -159,6 +161,11 @@ def main(argv=None) -> int:
     cases = [
         ("startup", "dedupe", empty, []),
         ("view", "view", work, ["-s", "-t", str(fa)]),
+        # -s included: the reference's unconditional sanity assert
+        # (impl/paf_view.c:196) divides 0/0 without -s and SIGABRTs on
+        # EVERY plain view invocation (its own include.mk forces -UNDEBUG);
+        # see README "Known divergences"
+        ("view_a", "view", work, ["-a", "-s", str(fa)]),
         ("chain", "chain", work, []),
         ("tile", "tile", work, []),
         ("to_bed", "to_bed", work, []),
@@ -248,6 +255,29 @@ def main(argv=None) -> int:
                     run_once([binpath] + argfn(binpath), out, env))
     all_cases = ([n for n, _, _, _ in cases] + [n for n, *_ in custom_cases]
                  + [n for n, _ in faffy_cases])
+    # peak-RSS pass (untimed): each side once under a rusage wrapper — the
+    # streaming-memory claim (bounded batches vs the reference's whole-file
+    # or whole-hash residency) measured, not asserted
+    def peak_rss_mb(cmd) -> float:
+        wrapper = ("import resource,subprocess,sys;"
+                   "subprocess.run(sys.argv[1:],stdout=subprocess.DEVNULL,"
+                   "stderr=subprocess.DEVNULL);"
+                   "print(resource.getrusage(resource.RUSAGE_CHILDREN)"
+                   ".ru_maxrss)")
+        r = subprocess.run([sys.executable, "-S", "-c", wrapper] + cmd,
+                           capture_output=True, env=env, text=True)
+        try:
+            return round(int(r.stdout.strip()) / 1024, 1)
+        except ValueError:
+            return -1.0
+    rss: dict[tuple[str, str], float] = {}
+    if not args.no_rss:
+        for name, sub, inp, extra in cases:
+            if not want(name):
+                continue
+            for who, binpath in (("ref", bins["paffy"]), ("our", ours)):
+                rss[(who, name)] = peak_rss_mb(
+                    [binpath, sub, "-i", str(inp)] + extra)
     for name in all_cases:
         if not want(name):
             continue
@@ -255,16 +285,22 @@ def main(argv=None) -> int:
         o = min(results[("our", name)])
         same = ((tmp / f"ref_{name}.out").read_bytes()
                 == (tmp / f"our_{name}.out").read_bytes())
-        rows.append({"cmd": name, "ref_s": round(r, 3),
-                     "ours_s": round(o, 3),
-                     "ratio": round(o / r, 2), "identical": same})
+        row = {"cmd": name, "ref_s": round(r, 3),
+               "ours_s": round(o, 3),
+               "ratio": round(o / r, 2), "identical": same}
+        if (("ref", name)) in rss:
+            row["ref_rss_mb"] = rss[("ref", name)]
+            row["ours_rss_mb"] = rss[("our", name)]
+        rows.append(row)
     if args.json:
         print(json.dumps(rows))
     else:
-        print(f"{'cmd':16s} {'ref':>7s} {'ours':>7s} {'ratio':>7s}  identical")
+        print(f"{'cmd':16s} {'ref':>7s} {'ours':>7s} {'ratio':>7s}  identical"
+              f"  {'refMB':>7s} {'ourMB':>7s}")
         for row in rows:
             print(f"{row['cmd']:16s} {row['ref_s']:7.2f} {row['ours_s']:7.2f}"
-                  f" {row['ratio']:6.2f}x  {row['identical']}")
+                  f" {row['ratio']:6.2f}x  {str(row['identical']):5s}"
+                  f" {row.get('ref_rss_mb', ''):>7} {row.get('ours_rss_mb', ''):>7}")
     bad = [r["cmd"] for r in rows if not r["identical"]]
     if bad:
         print(f"OUTPUT MISMATCH: {bad}", file=sys.stderr)
