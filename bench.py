@@ -584,6 +584,19 @@ def main():
     tile_vs = bench_tile_device(t)
     pipe_rec_s = bench_pipeline_e2e(t, host_pool, name_off)
 
+    # committed CLI-audit ratios ride along so BENCH_r*.json carries the
+    # vs-reference-binary picture (regenerate: tools/cli_audit.py --fold N)
+    audit = {}
+    for fold in (16, 64):
+        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         f"audit{fold}.json")
+        try:
+            with open(p) as fh:
+                audit[f"cli_audit_{fold}x_ratio_vs_ref"] = {
+                    r["cmd"]: r["ratio"] for r in json.load(fh)}
+        except (OSError, ValueError):
+            pass
+
     print(json.dumps({
         "metric": "alignment_columns_per_second",
         "value": round(dev_cols_s, 1),
@@ -601,6 +614,7 @@ def main():
             "tile_device_vs_host": round(tile_vs, 3),
             "pipeline_e2e_records_per_second": round(pipe_rec_s, 1),
             "byte_equality_gates": "passed",
+            **audit,
         },
     }))
 

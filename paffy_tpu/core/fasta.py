@@ -181,17 +181,30 @@ class Interval:
     length: int = 0
 
 
+def _sscanf_i64(s: str) -> int:
+    """sscanf("%" PRIi64) semantics: skip leading whitespace, optional
+    sign, parse the LEADING digit run, ignore trailing junk — the
+    reference accepts "12x" as 12 (decode_fasta_header, impl/paf.c:719-725
+    asserts only that one item matched)."""
+    import re
+    m = re.match(r"\s*[+-]?\d+", s)
+    if m is None:
+        raise ValueError(f"no leading integer in {s!r}")
+    return int(m.group())
+
+
 def decode_header(header: str) -> Interval:
     """``name|length|start`` -> Interval(name, start, length).
 
     Pops the last two '|' fields as start then length; anything before is
     rejoined with '|' as the name (decode_fasta_header, impl/paf.c:716-731).
+    Field values parse with sscanf leading-integer semantics.
     """
     parts = header.split("|")
     if len(parts) < 3:
         raise ValueError(f"fasta header lacks |length|start provenance fields: {header!r}")
-    start = int(parts[-1])
-    length = int(parts[-2])
+    start = _sscanf_i64(parts[-1])
+    length = _sscanf_i64(parts[-2])
     return Interval(name="|".join(parts[:-2]), start=start, length=length)
 
 

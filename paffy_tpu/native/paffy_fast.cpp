@@ -209,6 +209,15 @@ char** g_argv = nullptr;
     reexec_python_full(g_argc, g_argv);
 }
 
+// The fast lane holds the whole input (the Python lane streams in
+// bounded batches): above this size the streaming lane wins on memory,
+// so defer.  The reference's own memory profile varies per command
+// (dedupe/chain hold everything; invert/trim/filter stream at O(1)).
+long long fast_max_bytes() {
+    const char* e = getenv("PAFFY_TPU_FAST_MAX_BYTES");
+    return e ? atoll(e) : (1ll << 30);
+}
+
 // Defer to Python AFTER the input was already consumed: when it came
 // from stdin, replay the buffered bytes to the child through a memfd
 // dup2'd onto fd 0 (a plain re-exec would hand the child an empty pipe).
@@ -264,6 +273,43 @@ void release(int fd, const std::vector<char>& bytes, ErrClass cls) {
     if (cls == ERR_SEGV) n -= n % 4096;      // unflushed tail lost
     write_fd(fd, bytes.data(), n);
 }
+
+// Streaming form of `release` for commands whose output is produced in
+// windows (shatter's ~20x expansion): full 4096-byte blocks reach the fd
+// as they complete, the sub-block tail is held until the death class is
+// known — byte-equivalent to staging everything, without the multi-GB
+// buffer.
+struct BlockWriter {
+    int fd;
+    char tail[4096];
+    size_t tail_n = 0;
+
+    explicit BlockWriter(int fd_) : fd(fd_) {}
+
+    void write(const char* p, size_t n) {
+        if (tail_n) {
+            size_t take = std::min(n, sizeof tail - tail_n);
+            memcpy(tail + tail_n, p, take);
+            tail_n += take;
+            p += take; n -= take;
+            if (tail_n == sizeof tail) {
+                write_fd(fd, tail, sizeof tail);
+                tail_n = 0;
+            } else {
+                return;                       // n exhausted
+            }
+        }
+        size_t cut = n - n % 4096;
+        write_fd(fd, p, cut);
+        memcpy(tail, p + cut, n - cut);
+        tail_n = n - cut;
+    }
+
+    void finish(ErrClass cls) {
+        if (cls != ERR_SEGV && tail_n) write_fd(fd, tail, tail_n);
+        tail_n = 0;
+    }
+};
 
 // --------------------------------------------------------- raw PAF table
 
@@ -662,7 +708,14 @@ int split_file_main(int argc, char** argv) {
     log_info("Output file string : %s", "None");
 
     RawTable t;
-    if (!read_all(input, t.buf) || !parse_raw(t)) {
+    if (!read_all(input, t.buf)) {
+        fprintf(stderr, "paffy split_file: cannot read input: %s\n",
+                input ? input : "<stdin>");
+        return 1;
+    }
+    if ((long long)t.buf.size() > fast_max_bytes())
+        defer_python(input, t.buf);
+    if (!parse_raw(t)) {
         fprintf(stderr, "paffy split_file: cannot read input: %s\n",
                 input ? input : "<stdin>");
         return 1;
@@ -1052,7 +1105,13 @@ int invert_main(int argc, char** argv) {
 
     RawTable t;
     long long noncanon = 0;
-    if (!read_all(c.input, t.buf) || !parse_raw(t, 1, &noncanon)) {
+    if (!read_all(c.input, t.buf)) {
+        fprintf(stderr, "paffy: cannot read input\n");
+        return 1;
+    }
+    if ((long long)t.buf.size() > fast_max_bytes())
+        defer_python(c.input, t.buf);   // streaming lane wins above this
+    if (!parse_raw(t, 1, &noncanon)) {
         fprintf(stderr, "paffy invert: cannot read input\n");
         return 1;
     }
@@ -1190,7 +1249,13 @@ int filter_main(int argc, char** argv) {
 
     RawTable t;
     long long noncanon = 0;
-    if (!read_all(c.input, t.buf) || !parse_raw(t, 1, &noncanon)) {
+    if (!read_all(c.input, t.buf)) {
+        fprintf(stderr, "paffy: cannot read input\n");
+        return 1;
+    }
+    if ((long long)t.buf.size() > fast_max_bytes())
+        defer_python(c.input, t.buf);   // streaming lane wins above this
+    if (!parse_raw(t, 1, &noncanon)) {
         fprintf(stderr, "paffy filter: cannot read input\n");
         return 1;
     }
@@ -1264,7 +1329,13 @@ int trim_main(int argc, char** argv) {
 
     RawTable t;
     long long noncanon = 0;
-    if (!read_all(c.input, t.buf) || !parse_raw(t, 1, &noncanon)) {
+    if (!read_all(c.input, t.buf)) {
+        fprintf(stderr, "paffy: cannot read input\n");
+        return 1;
+    }
+    if ((long long)t.buf.size() > fast_max_bytes())
+        defer_python(c.input, t.buf);   // streaming lane wins above this
+    if (!parse_raw(t, 1, &noncanon)) {
         fprintf(stderr, "paffy trim: cannot read input\n");
         return 1;
     }
@@ -1351,7 +1422,13 @@ int dechunk_main(int argc, char** argv) {
 
     RawTable t;
     long long noncanon = 0;
-    if (!read_all(c.input, t.buf) || !parse_raw(t, 1, &noncanon)) {
+    if (!read_all(c.input, t.buf)) {
+        fprintf(stderr, "paffy: cannot read input\n");
+        return 1;
+    }
+    if ((long long)t.buf.size() > fast_max_bytes())
+        defer_python(c.input, t.buf);   // streaming lane wins above this
+    if (!parse_raw(t, 1, &noncanon)) {
         fprintf(stderr, "paffy dechunk: cannot read input\n");
         return 1;
     }
@@ -1467,7 +1544,13 @@ int shatter_main(int argc, char** argv) {
     log_info("Output file string : %s", c.output ? c.output : "None");
 
     FullTable t;
-    if (!read_all(c.input, t.buf) || !parse_full(t)) {
+    if (!read_all(c.input, t.buf)) {
+        fprintf(stderr, "paffy shatter: cannot read input\n");
+        return 1;
+    }
+    if ((long long)t.buf.size() > fast_max_bytes())
+        defer_python(c.input, t.buf);
+    if (!parse_full(t)) {
         fprintf(stderr, "paffy shatter: cannot read input\n");
         return 1;
     }
@@ -1496,24 +1579,6 @@ int shatter_main(int argc, char** argv) {
                             : "shatter shard check failed";
         }
     }
-    std::vector<char> out;
-    if (n) {
-        std::vector<long long> sizes(n), off(n + 1);
-        shatter_serialize_sizes(n, t.ints.data(), t.flags.data(),
-                                t.type.data(), t.qname_off.data(),
-                                t.tname_off.data(), t.name_pool.data(),
-                                t.ops.data(), t.op_lens.data(),
-                                t.cig_off.data(), sizes.data(), g_threads());
-        off[0] = 0;
-        for (long long r = 0; r < n; ++r) off[r + 1] = off[r] + sizes[r];
-        out.resize(off[n]);
-        if (shatter_serialize_fill(
-                n, t.ints.data(), t.flags.data(), t.type.data(),
-                t.qname_off.data(), t.tname_off.data(), t.name_pool.data(),
-                t.ops.data(), t.op_lens.data(), t.cig_off.data(),
-                off.data(), out.data(), g_threads()))
-            defer_python(c.input, t.buf);  // drift guard: defer
-    }
     int fd = 1;
     if (c.output) {
         fd = open(c.output, O_WRONLY | O_CREAT | O_TRUNC, 0666);
@@ -1523,7 +1588,46 @@ int shatter_main(int argc, char** argv) {
             return 1;
         }
     }
-    release(fd, out, err);
+    // windowed emission: shatter expands ~20x, so the output streams in
+    // ~96 MB windows through the block writer instead of materializing
+    // one multi-GB buffer (the 64x audit measured 1.66 GB RSS / 2.3x the
+    // reference for the single-buffer form)
+    BlockWriter bw(fd);
+    if (n) {
+        std::vector<long long> sizes(n), off(n + 1);
+        shatter_serialize_sizes(n, t.ints.data(), t.flags.data(),
+                                t.type.data(), t.qname_off.data(),
+                                t.tname_off.data(), t.name_pool.data(),
+                                t.ops.data(), t.op_lens.data(),
+                                t.cig_off.data(), sizes.data(), g_threads());
+        off[0] = 0;
+        for (long long r = 0; r < n; ++r) off[r + 1] = off[r] + sizes[r];
+        const long long WINDOW = 96ll << 20;
+        std::vector<char> buf;
+        std::vector<long long> w_off;
+        long long a = 0;
+        while (a < n) {
+            long long bnd = a + 1;
+            while (bnd < n && off[bnd + 1] - off[a] <= WINDOW) ++bnd;
+            const long long wn = bnd - a;
+            w_off.resize(wn + 1);
+            for (long long j = 0; j <= wn; ++j)
+                w_off[j] = off[a + j] - off[a];
+            buf.resize(w_off[wn]);
+            if (shatter_serialize_fill(
+                    wn, t.ints.data() + a * 13, t.flags.data() + a,
+                    t.type.data() + a, t.qname_off.data() + a,
+                    t.tname_off.data() + a, t.name_pool.data(),
+                    t.ops.data(), t.op_lens.data(), t.cig_off.data() + a,
+                    w_off.data(), buf.data(), g_threads())) {
+                fprintf(stderr, "paffy shatter: serializer drift\n");
+                return 1;                      // cannot defer mid-stream
+            }
+            bw.write(buf.data(), (size_t)w_off[wn]);
+            a = bnd;
+        }
+    }
+    bw.finish(err);
     if (c.output) close(fd);
     if (err != ERR_NONE) {
         fprintf(stderr, "paffy shatter: %s\n",

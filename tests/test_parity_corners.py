@@ -102,6 +102,25 @@ def test_chunk_dir_error_paths(ref, fasta, tmp_path):
         assert a.returncode == 1 and b.returncode == 1, (mk, a, b)
 
 
+def test_dechunk_sscanf_header_fields(ref, tmp_path):
+    """decode_fasta_header parses |length|start with sscanf leading-integer
+    semantics — "20x" is 20, trailing junk ignored (impl/paf.c:719-725
+    asserts only that one item matched).  Byte parity on both lanes."""
+    paf = tmp_path / "in.paf"
+    paf.write_bytes(b"n|20x|5\t15\t0\t10\t+\tt|30|2\t28\t0\t10\t10\t10\t60"
+                    b"\tcg:Z:10M\n")
+    a = subprocess.run([ref["paffy"], "dechunk", "-i", str(paf)],
+                       capture_output=True, timeout=60, env=ENV)
+    outs = [a.stdout]
+    for extra in ({}, {"PAFFY_TPU_NO_FAST": "1"}):
+        b = subprocess.run([str(REPO / "bin" / "paffy"), "dechunk", "-i",
+                            str(paf)], capture_output=True, timeout=240,
+                           env={**ENV, **extra})
+        assert b.returncode == a.returncode == 0, (a, b)
+        outs.append(b.stdout)
+    assert outs[0] == outs[1] == outs[2]
+
+
 # ---------------------------------------------------------------- view -u/-v
 
 @pytest.fixture(scope="module")
