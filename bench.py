@@ -160,31 +160,32 @@ def bench_device(host_pool, b, t, iters=40):
     log(f"packed tiled: {cb.n_chunks} aligned chunks; residual-grouped "
         f"64 x {g.gp} (+{(64 * g.gp - cb.n_chunks) / cb.n_chunks:.1%} pad)")
     cargs = (jnp.asarray(g.trow), jnp.asarray(g.qwin), jnp.asarray(g.qpar),
-             jnp.asarray(g.col_a), jnp.asarray(g.col_b), jnp.asarray(g.inv),
-             jnp.asarray(cb.rec_chunk_off))
+             jnp.asarray(g.col_a), jnp.asarray(g.col_b),
+             jnp.asarray(g.rec_off), jnp.asarray(g.v_rec))
 
     t0 = time.time()
-    m, x = _packed2_res_counts(packed2d, pviews, *cargs, u_pad=cb.u_pad)
+    m, x = _packed2_res_counts(packed2d, pviews, *cargs)
     mv, xv = np.asarray(m).astype(np.int64), np.asarray(x).astype(np.int64)
     log(f"device: compile+first+fetch {time.time()-t0:.1f}s")
 
-    @partial(jax.jit, static_argnames=("iters", "u_pad"))
-    def loop(p2d, pv, trow, qwin, qpar, col_a, col_b, inv, rco, iters, u_pad):
+    @partial(jax.jit, static_argnames=("iters",))
+    def loop(p2d, pv, trow, qwin, qpar, col_a, col_b, rec_off, v_rec, iters):
         def body(i, acc):
-            # rotate within groups (axis 1): same work, defeats CSE; the inv
-            # scatter then permutes counts within records, leaving the total
+            # rotate within groups (axis 1): same work, defeats CSE (the
+            # per-record segmentation then reads shifted slots — the
+            # checksum changes per i but the work shape is identical)
             m, _ = _packed2_res_counts.__wrapped__(
                 p2d, pv, jnp.roll(trow, i, axis=1), jnp.roll(qwin, i, axis=1),
                 jnp.roll(qpar, i, axis=1), jnp.roll(col_a, i, axis=1),
-                jnp.roll(col_b, i, axis=1), inv, rco, u_pad)
+                jnp.roll(col_b, i, axis=1), rec_off, v_rec)
             return acc + jnp.sum(m.astype(jnp.float32))
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
-    float(loop(packed2d, pviews, *cargs, iters=iters, u_pad=cb.u_pad))
+    float(loop(packed2d, pviews, *cargs, iters=iters))
     times = []
     for _ in range(3):
         t0 = time.time()
-        float(loop(packed2d, pviews, *cargs, iters=iters, u_pad=cb.u_pad))
+        float(loop(packed2d, pviews, *cargs, iters=iters))
         times.append(time.time() - t0)
     dt = min(times) / iters
     log(f"device: {dt*1e3:.2f} ms/iter ({iters} kernel executions in one "

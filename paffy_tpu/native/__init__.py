@@ -113,6 +113,17 @@ def get_lib():
         lib.paf_scan_raw.restype = ctypes.c_longlong
         lib.paf_scan_raw.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                      _I64P, _I64P]
+        lib.paf_scan_raw_mt.restype = ctypes.c_longlong
+        lib.paf_scan_raw_mt.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                        ctypes.c_longlong, _I64P, _I64P,
+                                        _I64P, _I64P]
+        lib.paf_fill_raw_mt.restype = ctypes.c_longlong
+        lib.paf_fill_raw_mt.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                        ctypes.c_longlong, _I64P, _I64P,
+                                        _I64P, _I64P, _I64P, _U8P, _U8P,
+                                        _I64P, _I64P, ctypes.c_char_p,
+                                        _I64P, _I64P, ctypes.c_longlong,
+                                        _I64P]
         lib.paf_fill_raw.restype = ctypes.c_longlong
         lib.paf_fill_raw.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                      _I64P, _U8P, _U8P, _I64P, _I64P,
@@ -406,13 +417,22 @@ def parse_paf_bytes_raw(data: bytes, validate_cigars: bool = False):
     lib = get_lib()
     if lib is None:
         return None
-    n_rec = ctypes.c_longlong()
-    name_bytes = ctypes.c_longlong()
-    rc = lib.paf_scan_raw(data, len(data), ctypes.byref(n_rec),
-                          ctypes.byref(name_bytes))
+    # threaded two-pass above ~4 MB (mirrors the full parser's mt route);
+    # single-thread below — thread spawn costs more than the scan there
+    T = _default_threads(None) if len(data) >= (4 << 20) else 1
+    bounds = np.zeros(T + 1, dtype=np.int64)
+    recs = np.zeros(T, dtype=np.int64)
+    names_c = np.zeros(T, dtype=np.int64)
+    lines = np.zeros(T, dtype=np.int64)
+    rc = lib.paf_scan_raw_mt(data, len(data), T, _p_i64(bounds),
+                             _p_i64(recs), _p_i64(names_c), _p_i64(lines))
     if rc != 0:
         raise NativeParseError(f"malformed PAF at line {rc}", rc)
-    n, nb = n_rec.value, name_bytes.value
+    rec_base = np.zeros(T, dtype=np.int64)
+    name_base = np.zeros(T, dtype=np.int64)
+    np.cumsum(recs[:-1], out=rec_base[1:])
+    np.cumsum(names_c[:-1], out=name_base[1:])
+    n, nb = int(recs.sum()), int(names_c.sum())
     ints = np.empty((n, 13), dtype=np.int64)
     flags = np.empty(n, dtype=np.uint8)
     rtype = np.empty(n, dtype=np.uint8)
@@ -422,11 +442,13 @@ def parse_paf_bytes_raw(data: bytes, validate_cigars: bool = False):
     cg_start = np.empty(n, dtype=np.int64)
     cg_len = np.empty(n, dtype=np.int64)
     noncanon = np.zeros(1, dtype=np.int64)
-    rc = lib.paf_fill_raw(data, len(data), _p_i64(ints), _p_u8(flags),
-                          _p_u8(rtype), _p_i64(qoff), _p_i64(toff),
-                          pool.ctypes.data_as(ctypes.c_char_p),
-                          _p_i64(cg_start), _p_i64(cg_len),
-                          1 if validate_cigars else 0, _p_i64(noncanon))
+    rc = lib.paf_fill_raw_mt(data, len(data), T, _p_i64(bounds),
+                             _p_i64(rec_base), _p_i64(name_base),
+                             _p_i64(lines), _p_i64(ints), _p_u8(flags),
+                             _p_u8(rtype), _p_i64(qoff), _p_i64(toff),
+                             pool.ctypes.data_as(ctypes.c_char_p),
+                             _p_i64(cg_start), _p_i64(cg_len),
+                             1 if validate_cigars else 0, _p_i64(noncanon))
     if rc != 0:
         raise NativeParseError(f"malformed PAF at line {rc}", rc)
     if validate_cigars and noncanon[0]:

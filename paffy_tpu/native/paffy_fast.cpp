@@ -92,6 +92,33 @@ void chain_dp(long long n,
 long long paf_scan(const char* buf, long long len,
                    long long* n_records, long long* n_ops,
                    long long* name_bytes);
+long long paf_scan_mt(const char* buf, long long len, long long n_threads,
+                      long long* bounds, long long* recs, long long* ops,
+                      long long* names, long long* lines);
+long long paf_fill_mt(const char* buf, long long len, long long n_threads,
+                      const long long* bounds, const long long* rec_base,
+                      const long long* op_base, const long long* name_base,
+                      const long long* lines,
+                      long long* ints, unsigned char* flags,
+                      unsigned char* type,
+                      long long* qname_off, long long* tname_off,
+                      char* name_pool,
+                      unsigned char* ops, long long* op_lens,
+                      long long* cig_off);
+long long paf_scan_raw_mt(const char* buf, long long len,
+                          long long n_threads, long long* bounds,
+                          long long* rec_cnt, long long* name_cnt,
+                          long long* lines);
+long long paf_fill_raw_mt(const char* buf, long long len,
+                          long long n_threads,
+                          const long long* bounds, const long long* rec_base,
+                          const long long* name_base, const long long* lines,
+                          long long* ints, unsigned char* flags,
+                          unsigned char* type,
+                          long long* qname_off, long long* tname_off,
+                          char* name_pool,
+                          long long* cg_start, long long* cg_len,
+                          long long validate, long long* noncanon);
 long long paf_fill(const char* buf, long long len,
                    long long* ints, unsigned char* flags,
                    unsigned char* type,
@@ -352,13 +379,25 @@ size_t line_start_offset(const std::vector<char>& buf, long long line) {
 bool parse_raw(RawTable& t, long long validate = 0,
                long long* noncanon_out = nullptr) {
     long long len = (long long)t.buf.size();
-    long long n_records = 0, name_bytes = 0;
-    long long bad = paf_scan_raw(t.buf.data(), len, &n_records, &name_bytes);
+    const long long T = std::max(1, g_threads());
+    std::vector<long long> bounds(T + 1), recs(T, 0), names(T, 0),
+        lines(T, 0);
+    long long bad = paf_scan_raw_mt(t.buf.data(), len, T, bounds.data(),
+                                    recs.data(), names.data(), lines.data());
     if (bad > 0) {
         t.pending = ERR_SEGV;
         len = (long long)line_start_offset(t.buf, bad);
-        bad = paf_scan_raw(t.buf.data(), len, &n_records, &name_bytes);
+        bad = paf_scan_raw_mt(t.buf.data(), len, T, bounds.data(),
+                              recs.data(), names.data(), lines.data());
         if (bad > 0) return false;           // cannot happen: clean prefix
+    }
+    std::vector<long long> rec_base(T), name_base(T);
+    long long n_records = 0, name_bytes = 0;
+    for (long long s = 0; s < T; ++s) {
+        rec_base[s] = n_records;
+        name_base[s] = name_bytes;
+        n_records += recs[s];
+        name_bytes += names[s];
     }
     t.n = n_records;
     t.ints.resize(n_records * 13);
@@ -370,10 +409,12 @@ bool parse_raw(RawTable& t, long long validate = 0,
     t.cg_len.resize(n_records);
     t.name_pool.resize(name_bytes ? name_bytes : 1);
     long long noncanon = 0;
-    bad = paf_fill_raw(t.buf.data(), len, t.ints.data(), t.flags.data(),
-                       t.type.data(), t.qname_off.data(), t.tname_off.data(),
-                       t.name_pool.data(), t.cg_start.data(), t.cg_len.data(),
-                       validate, &noncanon);
+    bad = paf_fill_raw_mt(t.buf.data(), len, T, bounds.data(),
+                          rec_base.data(), name_base.data(), lines.data(),
+                          t.ints.data(), t.flags.data(), t.type.data(),
+                          t.qname_off.data(), t.tname_off.data(),
+                          t.name_pool.data(), t.cg_start.data(),
+                          t.cg_len.data(), validate, &noncanon);
     if (noncanon_out) *noncanon_out = noncanon;
     if (bad > 0) {
         // semantic failure at an earlier line wins over the scan's
@@ -401,9 +442,12 @@ struct FullTable {
 
 bool parse_full(FullTable& t) {
     long long len = (long long)t.buf.size();
-    long long n_records = 0, n_ops = 0, name_bytes = 0;
-    long long bad = paf_scan(t.buf.data(), len, &n_records, &n_ops,
-                             &name_bytes);
+    const long long T = std::max(1, g_threads());
+    std::vector<long long> bounds(T + 1), recs(T, 0), opsc(T, 0),
+        names(T, 0), lines(T, 0);
+    long long bad = paf_scan_mt(t.buf.data(), len, T, bounds.data(),
+                                recs.data(), opsc.data(), names.data(),
+                                lines.data());
     if (bad > 0) {
         // scan rejects blank / sub-12-token lines (SIGSEGV class) AND bad
         // cigar characters (errAbort class) — classify by strtok token
@@ -421,8 +465,19 @@ bool parse_full(FullTable& t) {
         }
         t.pending = tokens < 12 ? ERR_SEGV : ERR_ABORT;
         len = (long long)off;
-        bad = paf_scan(t.buf.data(), len, &n_records, &n_ops, &name_bytes);
+        bad = paf_scan_mt(t.buf.data(), len, T, bounds.data(), recs.data(),
+                          opsc.data(), names.data(), lines.data());
         if (bad > 0) return false;           // cannot happen: clean prefix
+    }
+    std::vector<long long> rec_base(T), op_base(T), name_base(T);
+    long long n_records = 0, n_ops = 0, name_bytes = 0;
+    for (long long s = 0; s < T; ++s) {
+        rec_base[s] = n_records;
+        op_base[s] = n_ops;
+        name_base[s] = name_bytes;
+        n_records += recs[s];
+        n_ops += opsc[s];
+        name_bytes += names[s];
     }
     t.n = n_records;
     t.ints.resize(n_records * 13);
@@ -434,10 +489,12 @@ bool parse_full(FullTable& t) {
     t.ops.resize(n_ops ? n_ops : 1);
     t.op_lens.resize(n_ops ? n_ops : 1);
     t.cig_off.resize(n_records + 1);
-    bad = paf_fill(t.buf.data(), len, t.ints.data(), t.flags.data(),
-                   t.type.data(), t.qname_off.data(), t.tname_off.data(),
-                   t.name_pool.data(), t.ops.data(), t.op_lens.data(),
-                   t.cig_off.data());
+    bad = paf_fill_mt(t.buf.data(), len, T, bounds.data(), rec_base.data(),
+                      op_base.data(), name_base.data(), lines.data(),
+                      t.ints.data(), t.flags.data(), t.type.data(),
+                      t.qname_off.data(), t.tname_off.data(),
+                      t.name_pool.data(), t.ops.data(), t.op_lens.data(),
+                      t.cig_off.data());
     if (bad > 0) {
         t.pending = ERR_ABORT;   // semantic failure (strand/tp), >= 12 tokens
         t.n = bad - 1;

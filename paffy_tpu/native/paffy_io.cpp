@@ -155,12 +155,11 @@ long long paf_scan_mt(const char* buf, long long len, long long n_threads,
 // mode, impl/paf_chain.c:128 / impl/paf_tile.c:156: commands that never
 // touch per-op data skip the digit parse entirely and re-emit the string
 // verbatim).
-long long paf_scan_raw(const char* buf, long long len,
-                       long long* n_records, long long* name_bytes) {
+static long long scan_raw_range(const char* p, const char* end,
+                                long long* n_records, long long* name_bytes,
+                                long long* n_lines) {
     long long recs = 0, names = 0;
     long long line_no = 0;
-    const char* p = buf;
-    const char* end = buf + len;
     while (p < end) {
         const char* eol = (const char*)memchr(p, '\n', end - p);
         const char* le = eol ? eol : end;
@@ -176,6 +175,44 @@ long long paf_scan_raw(const char* buf, long long len,
     }
     *n_records = recs;
     *name_bytes = names;
+    *n_lines = line_no;
+    return 0;
+}
+
+long long paf_scan_raw(const char* buf, long long len,
+                       long long* n_records, long long* name_bytes) {
+    long long lines = 0;
+    return scan_raw_range(buf, buf + len, n_records, name_bytes, &lines);
+}
+
+// Threaded raw scan over newline-aligned shard bounds (mirrors
+// paf_scan_mt): per-shard record/name counts for the fill pass's base
+// offsets.  Returns 0 or the GLOBAL 1-based first bad line.
+long long paf_scan_raw_mt(const char* buf, long long len,
+                          long long n_threads,
+                          long long* bounds,            // [T+1] out
+                          long long* rec_cnt,           // [T] out
+                          long long* name_cnt,          // [T] out
+                          long long* lines) {           // [T] out
+    const long long T = n_threads;
+    shard_bounds(buf, len, T, bounds);
+    std::vector<long long> bad(T, 0);
+    auto work = [&](long long s) {
+        bad[s] = scan_raw_range(buf + bounds[s], buf + bounds[s + 1],
+                                &rec_cnt[s], &name_cnt[s], &lines[s]);
+    };
+    if (T == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> th;
+        for (long long s = 0; s < T; ++s) th.emplace_back(work, s);
+        for (auto& t : th) t.join();
+    }
+    long long line_base = 0;
+    for (long long s = 0; s < T; ++s) {
+        if (bad[s]) return line_base + bad[s];
+        line_base += lines[s];
+    }
     return 0;
 }
 
@@ -356,17 +393,16 @@ long long paf_fill_mt(const char* buf, long long len, long long n_threads,
 // has a leading zero — valid input the full parser would CANONICALIZE on
 // re-emit, so verbatim raw re-emission would diverge; callers fall back
 // to the full parse for those (rare) inputs.
-long long paf_fill_raw(const char* buf, long long len,
-                       long long* ints,          // [n_records * 13]
-                       unsigned char* flags, unsigned char* type,
-                       long long* qname_off, long long* tname_off,
-                       char* name_pool,
-                       long long* cg_start, long long* cg_len,
-                       long long validate, long long* noncanon) {
-    long long rec = 0, npos = 0;
+static long long fill_raw_range(const char* buf,       // cg offsets base
+                                const char* p, const char* end,
+                                long long rec, long long npos,
+                                long long* ints,
+                                unsigned char* flags, unsigned char* type,
+                                long long* qname_off, long long* tname_off,
+                                char* name_pool,
+                                long long* cg_start, long long* cg_len,
+                                long long validate, long long* noncanon) {
     long long line_no = 0;
-    const char* p = buf;
-    const char* end = buf + len;
     while (p < end) {
         const char* eol = (const char*)memchr(p, '\n', end - p);
         const char* le = eol ? eol : end;
@@ -448,6 +484,59 @@ long long paf_fill_raw(const char* buf, long long len,
         flags[rec] = fl;
         ++rec;
         p = le + 1;
+    }
+    return 0;
+}
+
+long long paf_fill_raw(const char* buf, long long len,
+                       long long* ints,
+                       unsigned char* flags, unsigned char* type,
+                       long long* qname_off, long long* tname_off,
+                       char* name_pool,
+                       long long* cg_start, long long* cg_len,
+                       long long validate, long long* noncanon) {
+    return fill_raw_range(buf, buf, buf + len, 0, 0, ints, flags, type,
+                          qname_off, tname_off, name_pool, cg_start, cg_len,
+                          validate, noncanon);
+}
+
+// Threaded raw fill over paf_scan_raw_mt's shard bounds; rec/name bases
+// are the exclusive prefix sums of the per-shard scan counts.  Returns 0
+// or the GLOBAL 1-based first bad line.
+long long paf_fill_raw_mt(const char* buf, long long len,
+                          long long n_threads,
+                          const long long* bounds,       // [T+1]
+                          const long long* rec_base,     // [T]
+                          const long long* name_base,    // [T]
+                          const long long* lines,        // [T]
+                          long long* ints,
+                          unsigned char* flags, unsigned char* type,
+                          long long* qname_off, long long* tname_off,
+                          char* name_pool,
+                          long long* cg_start, long long* cg_len,
+                          long long validate, long long* noncanon) {
+    (void)len;
+    const long long T = n_threads;
+    std::vector<long long> bad(T, 0), nc(T, 0);
+    auto work = [&](long long s) {
+        bad[s] = fill_raw_range(buf, buf + bounds[s], buf + bounds[s + 1],
+                                rec_base[s], name_base[s], ints, flags,
+                                type, qname_off, tname_off, name_pool,
+                                cg_start, cg_len, validate, &nc[s]);
+    };
+    if (T == 1) {
+        work(0);
+    } else {
+        std::vector<std::thread> th;
+        for (long long s = 0; s < T; ++s) th.emplace_back(work, s);
+        for (auto& t : th) t.join();
+    }
+    for (long long s = 0; s < T; ++s)
+        if (nc[s]) *noncanon = 1;
+    long long line_base = 0;
+    for (long long s = 0; s < T; ++s) {
+        if (bad[s]) return line_base + bad[s];
+        line_base += lines[s];
     }
     return 0;
 }

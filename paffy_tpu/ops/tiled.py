@@ -736,8 +736,7 @@ def packed2_match_counts(packed2d, pviews, b: MColumnBatch, n_records: int,
         m, x = _packed2_res_counts(
             packed2d, pviews, jnp.asarray(g.trow), jnp.asarray(g.qwin),
             jnp.asarray(g.qpar), jnp.asarray(g.col_a), jnp.asarray(g.col_b),
-            jnp.asarray(g.inv), jnp.asarray(cb.rec_chunk_off),
-            u_pad=cb.u_pad)
+            jnp.asarray(g.rec_off), jnp.asarray(g.v_rec))
     else:
         m, x = _packed2_match_counts(
             packed2d, pviews, jnp.asarray(cb.trow), jnp.asarray(cb.qwin),
@@ -790,7 +789,15 @@ class ResGroupedBatch:
     col_a: np.ndarray
     col_b: np.ndarray
     inv: np.ndarray               # [STEP2 * GP] slot -> original chunk index
-                                  # (padding slots point at u_pad: dropped)
+                                  # (padding slots point at u_pad: dropped;
+                                  # kept for the dated scatter-epilogue
+                                  # kernel, tools/probe_flatgather.py)
+    rec_off: np.ndarray           # [STEP2, R+1] int32: group-g chunks
+                                  # belonging to records < r (the stable
+                                  # residual sort keeps chunks record-
+                                  # contiguous within each group)
+    v_rec: np.ndarray             # [R] int32 per-record column totals
+                                  # (pure chunk metadata — host-computed)
     n_chunks: int
     gp: int
 
@@ -814,16 +821,36 @@ def build_res_grouped(cb: PackedChunkBatch) -> ResGroupedBatch:
 
     inv = np.full(STEP2 * gp, cb.u_pad, dtype=np.int32)
     inv[slot] = order.astype(np.int32)
+    # per-group record boundaries + per-record column totals: the kernel's
+    # per-record reduce becomes a [STEP2, GP] axis-1 cumsum + one
+    # [STEP2, R+1] boundary gather instead of a [U] scatter (the scatter
+    # epilogue measured 3.0 ms of the 9.7 ms golden kernel — the
+    # round-4 roofline's unattributed residual; tools/probe_ablate.py)
+    R = len(cb.rec_chunk_off) - 1
+    rec_of_chunk = np.searchsorted(cb.rec_chunk_off, np.arange(u),
+                                   side="right") - 1
+    counts2d = np.bincount(res * R + rec_of_chunk,
+                           minlength=STEP2 * R).reshape(STEP2, R)
+    rec_off2 = np.zeros((STEP2, R + 1), dtype=np.int32)
+    rec_off2[:, 1:] = np.cumsum(counts2d, axis=1)
+    v_chunk = np.maximum(cb.col_b[:u].astype(np.int64) - cb.col_a[:u], 0)
+    v_rec = np.bincount(rec_of_chunk, weights=v_chunk,
+                        minlength=R).astype(np.int32)
     return ResGroupedBatch(
         trow=grouped(cb.trow[:u]), qwin=grouped(cb.qwin[:u]),
         qpar=grouped(cb.qpar[:u]), col_a=grouped(cb.col_a[:u]),
-        col_b=grouped(cb.col_b[:u]), inv=inv, n_chunks=u, gp=gp)
+        col_b=grouped(cb.col_b[:u]), inv=inv, rec_off=rec_off2,
+        v_rec=v_rec, n_chunks=u, gp=gp)
 
 
 @partial(jax.jit, static_argnames=("u_pad",))
-def _packed2_res_counts(packed2d, pviews, trow, qwin, qpar, col_a, col_b,
-                        inv, rec_chunk_off, u_pad):
-    """Per-record counts over the residual-grouped grid (no roll chain)."""
+def _packed2_res_counts_scatter(packed2d, pviews, trow, qwin, qpar, col_a,
+                                col_b, inv, rec_chunk_off, u_pad):
+    """DATED scatter-epilogue form (round 4): per-chunk counts scattered
+    back to record order, then cumsum + segment diff.  The scatter pair
+    measured 3.0 ms of the 9.7 ms golden kernel (probe_ablate, 2026-08-21)
+    — kept for the dated comparison; production uses the cumsum-epilogue
+    kernel below (identical per-record results, pinned)."""
     r_v = pviews.shape[0] // (4 * N_PHASE2)
     lane4 = 4 * jnp.arange(W2, dtype=jnp.int32)[None, :]
     m_groups, v_groups = [], []
@@ -858,3 +885,46 @@ def _packed2_res_counts(packed2d, pviews, trow, qwin, qpar, col_a, col_b,
     m = cm[bounds[1:]] - cm[bounds[:-1]]
     tot = cv[bounds[1:]] - cv[bounds[:-1]]
     return m, tot - m
+
+
+@jax.jit
+def _packed2_res_counts(packed2d, pviews, trow, qwin, qpar, col_a, col_b,
+                        rec_off, v_rec):
+    """Per-record counts over the residual-grouped grid (no roll chain,
+    no scatter).
+
+    Within each residual group the stable sort keeps chunks in original
+    (= record-major) order, so each record's group-g chunks are one
+    contiguous slot run: per-record sums are a [STEP2, GP] axis-1 cumsum
+    plus one boundary gather at rec_off — replacing the dated kernel's
+    [U] scatter pair (3.0 -> 0.4 ms epilogue on the golden grid,
+    12.9 -> 17.7 Gcol/s; tools/probe_ablate.py 2026-08-21).  The valid-
+    column totals are pure chunk metadata and ship precomputed (v_rec).
+    Per-group prefixes stay < 2^31 (<= total columns), so int32 is safe.
+    """
+    r_v = pviews.shape[0] // (4 * N_PHASE2)
+    lane4 = 4 * jnp.arange(W2, dtype=jnp.int32)[None, :]
+    m_groups = []
+    for g in range(STEP2):
+        qpar_g = qpar[g].astype(jnp.int32)
+        a = col_a[g].astype(jnp.int32)[:, None]
+        bb = col_b[g].astype(jnp.int32)[:, None]
+        qw = qwin[g]
+        tb = packed2d[trow[g]]
+        c = (qw & (W2 - 1)) >> LOG_STEP2
+        r = jnp.clip(qw >> LOGW2, 0, r_v - 1)
+        win = pviews[(qpar_g * N_PHASE2 + c) * r_v + r]
+        # group g's residual alignment is one STATIC slice — fused, free
+        x = tb ^ jax.lax.slice_in_dim(win, g, g + W2, axis=1)
+        m_ = jnp.zeros(x.shape, jnp.int32)
+        for j in range(4):
+            eq = (x & jnp.uint8(0x03 << (2 * j))) == 0
+            m_ = m_ + (eq & (lane4 + j >= a) & (lane4 + j < bb)).astype(jnp.int32)
+        m_groups.append(jnp.sum(m_, axis=1, dtype=jnp.int32))
+    M = jnp.stack(m_groups)                            # [STEP2, GP]
+    cm = jnp.concatenate(
+        [jnp.zeros((STEP2, 1), jnp.int32),
+         jnp.cumsum(M, axis=1, dtype=jnp.int32)], axis=1)
+    seg = jnp.take_along_axis(cm, rec_off, axis=1)     # [STEP2, R+1]
+    m = jnp.sum(seg[:, 1:] - seg[:, :-1], axis=0, dtype=jnp.int32)
+    return m, v_rec - m

@@ -127,11 +127,102 @@ def main(argv=None) -> int:
               f"({b.n_cols/(ms/1e3)/1e9:6.2f} Gcol/s)", flush=True)
         return ms
 
+    # candidate epilogue: within a group the stable residual sort keeps
+    # chunks record-contiguous, so per-record sums are per-group cumsums +
+    # boundary gathers — no [U] scatter
+    u = cb.n_chunks
+    rec_of_chunk = np.searchsorted(cb.rec_chunk_off, np.arange(u),
+                                   side="right") - 1
+    res = (cb.qwin[:u] & (STEP2 - 1)).astype(np.int64)
+    R = len(cb.rec_chunk_off) - 1
+    counts2d = np.zeros((STEP2, R), dtype=np.int64)
+    np.add.at(counts2d, (res, rec_of_chunk), 1)
+    rec_off = np.zeros((STEP2, R + 1), dtype=np.int32)
+    np.cumsum(counts2d, axis=1, out=rec_off[:, 1:])
+    v_chunk = np.maximum(cb.col_b[:u].astype(np.int64)
+                         - cb.col_a[:u], 0)
+    v_rec = np.zeros(R, dtype=np.int64)
+    np.add.at(v_rec, rec_of_chunk, v_chunk)
+    rec_off_d = jnp.asarray(rec_off)
+    v_rec_d = jnp.asarray(v_rec.astype(np.int32))
+
+    def body_cumsum(p2d, pv, trow, qwin, qpar, col_a, col_b, inv, rco,
+                    u_pad):
+        import jax.lax as lax
+        m_groups = []
+        for gi in range(STEP2):
+            qpar_g = qpar[gi].astype(jnp.int32)
+            a = col_a[gi].astype(jnp.int32)[:, None]
+            bb = col_b[gi].astype(jnp.int32)[:, None]
+            qw = qwin[gi]
+            tb = p2d[trow[gi]]
+            c = (qw & (W2 - 1)) >> LOG_STEP2
+            r = jnp.clip(qw >> LOGW2, 0, r_v - 1)
+            win = pv[(qpar_g * N_PHASE2 + c) * r_v + r]
+            x = tb ^ lax.slice_in_dim(win, gi, gi + W2, axis=1)
+            m_ = jnp.zeros(x.shape, jnp.int32)
+            for j in range(4):
+                eq = (x & jnp.uint8(0x03 << (2 * j))) == 0
+                m_ = m_ + (eq & (lane4 + j >= a)
+                           & (lane4 + j < bb)).astype(jnp.int32)
+            m_groups.append(jnp.sum(m_, axis=1, dtype=jnp.int32))
+        M = jnp.stack(m_groups)                        # [STEP2, gp]
+        cm = jnp.concatenate(
+            [jnp.zeros((STEP2, 1), jnp.int32),
+             jnp.cumsum(M, axis=1, dtype=jnp.int32)], axis=1)
+        seg = jnp.take_along_axis(cm, rec_off_d, axis=1)
+        m = jnp.sum(seg[:, 1:] - seg[:, :-1], axis=0, dtype=jnp.int32)
+        return jnp.sum(m.astype(jnp.float32)) \
+            + jnp.float32(0) * jnp.sum(v_rec_d)
+
+    # correctness: v2 per-record counts == production kernel (unrotated)
+    m_ref, x_ref = _packed2_res_counts(packed2d, pviews, *cargs,
+                                       u_pad=cb.u_pad)
+
+    @jax.jit
+    def v2_counts(p2d, pv, trow, qwin, qpar, col_a, col_b):
+        import jax.lax as lax
+        m_groups = []
+        for gi in range(STEP2):
+            qpar_g = qpar[gi].astype(jnp.int32)
+            a = col_a[gi].astype(jnp.int32)[:, None]
+            bb = col_b[gi].astype(jnp.int32)[:, None]
+            qw = qwin[gi]
+            tb = p2d[trow[gi]]
+            c = (qw & (W2 - 1)) >> LOG_STEP2
+            r = jnp.clip(qw >> LOGW2, 0, r_v - 1)
+            win = pv[(qpar_g * N_PHASE2 + c) * r_v + r]
+            x = tb ^ lax.slice_in_dim(win, gi, gi + W2, axis=1)
+            m_ = jnp.zeros(x.shape, jnp.int32)
+            for j in range(4):
+                eq = (x & jnp.uint8(0x03 << (2 * j))) == 0
+                m_ = m_ + (eq & (lane4 + j >= a)
+                           & (lane4 + j < bb)).astype(jnp.int32)
+            m_groups.append(jnp.sum(m_, axis=1, dtype=jnp.int32))
+        M = jnp.stack(m_groups)
+        cm = jnp.concatenate(
+            [jnp.zeros((STEP2, 1), jnp.int32),
+             jnp.cumsum(M, axis=1, dtype=jnp.int32)], axis=1)
+        seg = jnp.take_along_axis(cm, rec_off_d, axis=1)
+        m = jnp.sum(seg[:, 1:] - seg[:, :-1], axis=0, dtype=jnp.int32)
+        return m, v_rec_d - m
+
+    m2, x2 = v2_counts(packed2d, pviews, jnp.asarray(g.trow),
+                       jnp.asarray(g.qwin), jnp.asarray(g.qpar),
+                       jnp.asarray(g.col_a), jnp.asarray(g.col_b))
+    same = (np.array_equal(np.asarray(m_ref), np.asarray(m2))
+            and np.array_equal(np.asarray(x_ref), np.asarray(x2)))
+    print(f"v2 per-record counts identical to production: {same}",
+          flush=True)
+
     g_ms = timed("gathers", body_gathers)
     c_ms = timed("compare", body_compare)
     f_ms = timed("full", body_full)
+    v2_ms = timed("full_v2", body_cumsum)
     print(f"\nattribution: gathers {g_ms:.2f} | +compare "
           f"{c_ms - g_ms:+.2f} | +scatter/segment {f_ms - c_ms:+.2f} "
+          f"| cumsum-epilogue variant {v2_ms:.2f} (epilogue "
+          f"{v2_ms - c_ms:+.2f}) "
           f"| padding share of gathers ~{pad:.1%} (~{g_ms * pad:.2f} ms)")
     return 0
 

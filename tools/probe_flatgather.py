@@ -25,7 +25,7 @@ def main():
     import jax.numpy as jnp
     from paffy_tpu.ops.tiled import (build_packed2_chunk_batch,
                                      build_packed2_pools, build_res_grouped,
-                                     _packed2_res_counts, W2, STEP2,
+                                     _packed2_res_counts_scatter, W2, STEP2,
                                      N_PHASE2, LOG_STEP2, LOGW2)
     from paffy_tpu.ops.mismatch_device import build_ext_pool
 
@@ -83,7 +83,7 @@ def main():
     cargs = (jnp.asarray(g.trow), jnp.asarray(g.qwin), jnp.asarray(g.qpar),
              jnp.asarray(g.col_a), jnp.asarray(g.col_b), jnp.asarray(g.inv),
              jnp.asarray(cb.rec_chunk_off))
-    m0, x0 = _packed2_res_counts(packed2d, pviews, *cargs, u_pad=cb.u_pad)
+    m0, x0 = _packed2_res_counts_scatter(packed2d, pviews, *cargs, u_pad=cb.u_pad)
     m1, x1 = flat_counts(packed2d, pviews, *cargs, u_pad=cb.u_pad)
     same = (np.array_equal(np.asarray(m0), np.asarray(m1))
             and np.array_equal(np.asarray(x0), np.asarray(x1)))
@@ -110,7 +110,7 @@ def main():
             ts.append(time.time() - t0)
         return min(ts) / iters
 
-    dt0 = timeit(_packed2_res_counts)
+    dt0 = timeit(_packed2_res_counts_scatter)
     dt1 = timeit(flat_counts)
     print(f"production (64 gathers): {dt0*1e3:.2f} ms "
           f"-> {b.n_cols/dt0/1e9:.2f} Gcol/s")
