@@ -557,9 +557,25 @@ def bench_am_e2e(text, host_pool, name_off, iters=5):
     return n_ops / prod_dt, base_dt / prod_dt
 
 
+def host_bandwidth_probe() -> float:
+    """GB/s of a 256 MB numpy copy (min of 3) — this shared 2-vCPU host
+    swings 0.2-10 GB/s with neighbor load, so every host-bound number in
+    the output is only comparable across runs via this annotation."""
+    a = np.ones(256 << 20, dtype=np.uint8)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        b = a.copy()
+        best = min(best, time.time() - t0)
+        del b
+    return round((256 << 20) / best / 1e9, 2)
+
+
 def main():
     from paffy_tpu.jaxconf import ensure_jax
     ensure_jax()
+    hb = host_bandwidth_probe()
+    log(f"host memcpy bandwidth probe: {hb} GB/s")
     t, text = load_workload()
     b, pool_size, name_off = build_columns(t)
     log(f"workload: {b.n_cols} alignment columns over {b.n_mops} M runs; "
@@ -614,6 +630,7 @@ def main():
             "chain_device_kernel_vs_host": chain_kern,
             "tile_device_vs_host": round(tile_vs, 3),
             "pipeline_e2e_records_per_second": round(pipe_rec_s, 1),
+            "host_memcpy_gbps": hb,
             "byte_equality_gates": "passed",
             **audit,
         },
