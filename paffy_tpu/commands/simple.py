@@ -243,6 +243,24 @@ class DedupeState:
         return ~dup, checked
 
 
+def _first_zero_aligned(t) -> int:
+    """First record with zero aligned (M/=/X) columns, or -1 — the exact
+    set the reference's identity-trim NaN assert dies on."""
+    if len(t) == 0:
+        return -1
+    aligned = None
+    if t.raw_cg is not None:
+        from paffy_tpu import native
+        st = native.cigar_stats_raw(t)
+        if st is not None:
+            aligned = st[:, 0] + st[:, 1]
+    if aligned is None:
+        s = tr.stats_calc(t)
+        aligned = np.asarray(s["matches"]) + np.asarray(s["mismatches"])
+    z = np.nonzero(aligned == 0)[0]
+    return int(z[0]) if len(z) else -1
+
+
 def trim_main(argv) -> int:
     p = base_parser("paffy trim", "Trims the ends of a PAF file")
     p.add_argument("-r", "--trimIdentity", type=float, default=0.05)
@@ -254,6 +272,26 @@ def trim_main(argv) -> int:
     def step(t):
         if not args.fixedTrim:
             t = trim_unreliable_tails(t, args.trimIdentity, args.trimFraction)
+            # the reference's identity-trim sanity assert dies on any
+            # record whose identity is 0/0 = NaN — no cigar, all-I/D
+            # cigars, or a trim that removed every aligned column
+            # (assert final_identity >= identity, impl/paf.c:952; NaN
+            # fails any compare).  SIGABRT class: records before it are
+            # written, the sub-block stdio tail is lost.  Post-trim
+            # aligned==0 is the exact condition (trimming cannot create
+            # aligned columns, so orig==0 implies post==0).
+            bad = _first_zero_aligned(t)
+            if bad >= 0:
+                # an earlier record's own paf_check failure still wins
+                # (the reference runs trim -> check -> write per record)
+                pre = t.take(np.arange(bad))
+                pafio.paf_check(pre, check_raw_spans=True)
+                err = pafio.PafCheckError(
+                    f"trim: zero-aligned record, "
+                    f"{pafio.format_record(t, bad)}",
+                    table=pre, record_index=bad)
+                err.stdio_lost_tail = True
+                raise err
         else:
             t = tr.trim_end_fraction(t, args.trimFraction)
         pafio.paf_check(t, check_raw_spans=True)

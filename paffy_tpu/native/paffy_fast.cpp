@@ -1422,13 +1422,22 @@ int trim_main(int argc, char** argv) {
             if (cg_n[i] == 0) t.flags[i] &= ~2;  // fully trimmed away
         }
     }
-    // paf_check with raw spans, record-at-a-time order
+    // paf_check with raw spans, record-at-a-time order; the identity-trim
+    // NaN sanity assert (zero aligned columns -> 0/0 identity,
+    // impl/paf.c:952) fires BEFORE the record's own check and dies
+    // SIGABRT-class (stdio tail lost)
     std::vector<long long> st = raw_stats(t);
     std::vector<long long> order;
     order.reserve(n);
     ErrClass err = t.pending;
     const char* msg = nullptr;
     for (long long i = 0; i < n; ++i) {
+        const long long* o = st.data() + i * 7;
+        if (o[0] + o[1] == 0) {
+            err = ERR_SEGV;
+            msg = "zero-aligned record (identity NaN assert)";
+            break;
+        }
         int code = check_full(t, i, st.data());
         if (code >= 0) {
             err = ERR_ABORT;

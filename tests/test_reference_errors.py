@@ -207,6 +207,27 @@ def test_stdio_granularity_parity(ref, label, data, cmd, batch):
         label, cmd, batch, len(a.stdout), len(b.stdout))
 
 
+def test_trim_nan_assert_granularity(ref):
+    """trim's identity sanity assert dies on a zero-aligned record
+    (0/0 identity NaN, impl/paf.c:952) — SIGABRT class: the records
+    before it reach the pipe up to the flushed 4096-byte boundary, on
+    both sides, with a multi-block prefix."""
+    import os
+    env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
+    nocigar = b"bare\t1000\t0\t130\t+\tt\t1000\t0\t130\t130\t130\t60\n"
+    data = _bulk(120) + nocigar + _bulk(3, prefix="z")
+    a = subprocess.run([ref["paffy"], "trim"], input=data,
+                       capture_output=True, timeout=120, env=env)
+    b = subprocess.run([str(REPO / "bin" / "paffy"), "trim"], input=data,
+                       capture_output=True, timeout=600, env=env)
+    c = subprocess.run([str(REPO / "bin" / "paffy"), "trim"], input=data,
+                       capture_output=True, timeout=600,
+                       env={**env, "PAFFY_TPU_NO_FAST": "1",
+                            "PAFFY_TPU_BATCH_BYTES": "2048"})
+    assert a.returncode != 0 and b.returncode != 0 and c.returncode != 0
+    assert len(a.stdout) >= 4096 and a.stdout == b.stdout == c.stdout
+
+
 MULTICLASS_CASES = [
     # two invalid records of DIFFERENT check classes: the reference checks
     # record-at-a-time (impl/paf.c:427-461 via impl/paf_dedupe.c:120-124),
