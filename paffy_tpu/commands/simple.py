@@ -243,6 +243,28 @@ class DedupeState:
         return ~dup, checked
 
 
+def _first_missing_seq(pool, t):
+    """(record, role, name) of the first record whose query (checked
+    first, like the reference's per-record fetch order) or target
+    sequence is absent from the pool; (-1, None, None) when all
+    resolve.  One dict probe per DISTINCT name."""
+    idx = pool.index
+    known: dict = {}
+    for i in range(len(t)):
+        qn, tn = t.qname[i], t.tname[i]
+        q_ok = known.get(qn)
+        if q_ok is None:
+            q_ok = known[qn] = qn in idx
+        if not q_ok:
+            return i, "query", qn
+        t_ok = known.get(tn)
+        if t_ok is None:
+            t_ok = known[tn] = tn in idx
+        if not t_ok:
+            return i, "target", tn
+    return -1, None, None
+
+
 def _first_zero_aligned(t) -> int:
     """First record with zero aligned (M/=/X) columns, or -1 — the exact
     set the reference's identity-trim NaN assert dies on."""
@@ -387,19 +409,23 @@ def add_mismatches_main(argv) -> int:
         for t in stream_tables(args):
             if not len(t):
                 continue
-            qpo = pool.offsets_for(t.qname, "query")
-            tpo = pool.offsets_for(t.tname, "target")
+            # the reference fetches each record's query then target
+            # sequence BEFORE encoding it (impl/paf_add_mismatches.c) —
+            # a missing name errAborts with the records before it already
+            # encoded and flushed
+            bad, role, name = _first_missing_seq(pool, t)
+            sel = t if bad < 0 else t.take(np.arange(bad))
             # check BEFORE encode: each M run's =/X runs sum to its length,
             # so cigar spans (and every other checked field) are preserved
             # exactly and the accept/reject decision matches the
             # reference's check-after-encode (impl/paf_add_mismatches.c:133)
             try:
-                pafio.paf_check(t)
+                pafio.paf_check(sel)
             except pafio.PafCheckError as e:
                 # the reference encodes and writes record-at-a-time, so
                 # the ENCODED records before the bad one precede the abort
                 if e.record_index:
-                    pre = t.take(np.arange(e.record_index))
+                    pre = sel.take(np.arange(e.record_index))
                     if native.encode_serialize(
                             pre, pool.host_pool,
                             pool.offsets_for(pre.qname, "query"),
@@ -411,11 +437,16 @@ def add_mismatches_main(argv) -> int:
             # fused native encode+serialize: M->=/X runs emitted straight
             # as output line text (no intermediate =/X CSR arrays),
             # streamed to the output in reused buffer slices
-            if native.encode_serialize(t, pool.host_pool, qpo, tpo,
-                                       fh=out) is None:
-                # no toolchain: generic batch transform
-                t2 = encode_mismatches(t, pool)
-                out.write(pafio.serialize_paf_bytes(t2))
+            if len(sel):
+                qpo = pool.offsets_for(sel.qname, "query")
+                tpo = pool.offsets_for(sel.tname, "target")
+                if native.encode_serialize(sel, pool.host_pool, qpo, tpo,
+                                           fh=out) is None:
+                    # no toolchain: generic batch transform
+                    t2 = encode_mismatches(sel, pool)
+                    out.write(pafio.serialize_paf_bytes(t2))
+            if bad >= 0:
+                raise KeyError(f"No {role} sequence named: {name} found")
     except KeyError as e:
         print(str(e.args[0]), file=sys.stderr)
         return 1

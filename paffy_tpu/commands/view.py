@@ -162,6 +162,13 @@ def main(argv) -> int:
     n_total = 0
     try:
         for t in stream_tables(args):
+            # a missing sequence name errAborts mid-stream with the
+            # records BEFORE it already printed and flushed (the reference
+            # fetches per record, impl/paf_view.c:127-140)
+            from paffy_tpu.commands.simple import _first_missing_seq
+            bad, role, name = _first_missing_seq(pool, t)
+            if bad >= 0:
+                t = t.take(np.arange(bad))
             # Fused stats: per-column match/mismatch counts straight from the
             # device kernel; the re-encoded cigar is never materialized (the
             # reference encodes then walks the cigar, impl/paf_view.c:167-178
@@ -212,6 +219,11 @@ def main(argv) -> int:
                                 stats["query_insert_bases"].sum(),
                                 stats["query_delete_bases"].sum()])
             n_total += len(t)
+            if bad >= 0:
+                # errAbort: the prefix above flushes on the clean close
+                print(f"No {role} sequence named: {name} found",
+                      file=sys.stderr)
+                return 1
         tm, tx, tqi, tqd, tqib, tqdb = (int(v) for v in totals)
         if args.printAggregateStats:
             out.write(

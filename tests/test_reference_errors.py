@@ -228,6 +228,33 @@ def test_trim_nan_assert_granularity(ref):
     assert len(a.stdout) >= 4096 and a.stdout == b.stdout == c.stdout
 
 
+def test_missing_sequence_midstream_prefix(ref, tmp_path):
+    """add_mismatches and view fetch sequences per record: a missing name
+    mid-file errAborts AFTER the prior records were encoded/printed and
+    flushed — the prefix must match byte-for-byte (incl. view -a's
+    base-level render)."""
+    import os
+    env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
+    fa = tmp_path / "s.fa"
+    fa.write_text(">q\n" + "ACGT" * 300 + "\n>t\n" + "ACGT" * 300 + "\n")
+    rec = ("q\t1200\t0\t200\t+\tt\t1200\t0\t200\t200\t200\t60"
+           "\tcg:Z:200M\n")
+    for cmd in (["add_mismatches", str(fa)],
+                ["view", str(fa)],
+                ["view", "-s", "-t", str(fa)],
+                ["view", "-a", "-s", str(fa)]):
+        for badline in (rec.replace("q\t", "zz\t", 1),
+                        rec.replace("\tt\t", "\tzz\t", 1)):
+            data = (rec * 60 + badline + rec * 3).encode()
+            a = subprocess.run([ref["paffy"], *cmd], input=data,
+                               capture_output=True, timeout=120, env=env)
+            b = subprocess.run([str(REPO / "bin" / "paffy"), *cmd],
+                               input=data, capture_output=True,
+                               timeout=600, env=env)
+            assert a.returncode != 0 and b.returncode != 0, (cmd, a, b)
+            assert a.stdout == b.stdout, (cmd, len(a.stdout), len(b.stdout))
+
+
 MULTICLASS_CASES = [
     # two invalid records of DIFFERENT check classes: the reference checks
     # record-at-a-time (impl/paf.c:427-461 via impl/paf_dedupe.c:120-124),
