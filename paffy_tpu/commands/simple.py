@@ -265,21 +265,27 @@ def _first_missing_seq(pool, t):
     return -1, None, None
 
 
-def _first_zero_aligned(t) -> int:
-    """First record with zero aligned (M/=/X) columns, or -1 — the exact
-    set the reference's identity-trim NaN assert dies on."""
+def _first_empty_cigar(t) -> int:
+    """First record whose TOTAL cigar length is zero (no cg tag, empty
+    text, or everything trimmed away), or -1 — the exact set the
+    reference's identity-trim NaN assert dies on: its identity counts
+    indels as mismatches (paf_trim_unreliable_ends2, impl/paf.c:818-828),
+    so all-I/all-D records give identity 0.0, not NaN; only an op-free
+    cigar divides 0/0."""
     if len(t) == 0:
         return -1
-    aligned = None
+    total = None
     if t.raw_cg is not None:
         from paffy_tpu import native
         st = native.cigar_stats_raw(t)
         if st is not None:
-            aligned = st[:, 0] + st[:, 1]
-    if aligned is None:
+            total = st[:, 0] + st[:, 1] + st[:, 4] + st[:, 5]
+    if total is None:
         s = tr.stats_calc(t)
-        aligned = np.asarray(s["matches"]) + np.asarray(s["mismatches"])
-    z = np.nonzero(aligned == 0)[0]
+        total = (np.asarray(s["matches"]) + np.asarray(s["mismatches"])
+                 + np.asarray(s["query_insert_bases"])
+                 + np.asarray(s["query_delete_bases"]))
+    z = np.nonzero(total == 0)[0]
     return int(z[0]) if len(z) else -1
 
 
@@ -295,21 +301,21 @@ def trim_main(argv) -> int:
         if not args.fixedTrim:
             t = trim_unreliable_tails(t, args.trimIdentity, args.trimFraction)
             # the reference's identity-trim sanity assert dies on any
-            # record whose identity is 0/0 = NaN — no cigar, all-I/D
-            # cigars, or a trim that removed every aligned column
+            # record whose identity is 0/0 = NaN — an OP-FREE cigar (no
+            # cg tag, or a trim that removed every op); all-I/all-D
+            # records survive because indels count as mismatches there
             # (assert final_identity >= identity, impl/paf.c:952; NaN
             # fails any compare).  SIGABRT class: records before it are
-            # written, the sub-block stdio tail is lost.  Post-trim
-            # aligned==0 is the exact condition (trimming cannot create
-            # aligned columns, so orig==0 implies post==0).
-            bad = _first_zero_aligned(t)
+            # written, the sub-block stdio tail is lost.  Checked
+            # post-trim: an originally op-free cigar stays op-free.
+            bad = _first_empty_cigar(t)
             if bad >= 0:
                 # an earlier record's own paf_check failure still wins
                 # (the reference runs trim -> check -> write per record)
                 pre = t.take(np.arange(bad))
                 pafio.paf_check(pre, check_raw_spans=True)
                 err = pafio.PafCheckError(
-                    f"trim: zero-aligned record, "
+                    f"trim: op-free cigar record, "
                     f"{pafio.format_record(t, bad)}",
                     table=pre, record_index=bad)
                 err.stdio_lost_tail = True

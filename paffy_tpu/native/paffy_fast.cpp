@@ -1423,9 +1423,10 @@ int trim_main(int argc, char** argv) {
         }
     }
     // paf_check with raw spans, record-at-a-time order; the identity-trim
-    // NaN sanity assert (zero aligned columns -> 0/0 identity,
-    // impl/paf.c:952) fires BEFORE the record's own check and dies
-    // SIGABRT-class (stdio tail lost)
+    // NaN sanity assert (OP-FREE cigar -> 0/0 identity — indels count as
+    // mismatches there, so all-I/all-D survive; impl/paf.c:818-828,952)
+    // fires BEFORE the record's own check and dies SIGABRT-class
+    // (stdio tail lost)
     std::vector<long long> st = raw_stats(t);
     std::vector<long long> order;
     order.reserve(n);
@@ -1433,9 +1434,9 @@ int trim_main(int argc, char** argv) {
     const char* msg = nullptr;
     for (long long i = 0; i < n; ++i) {
         const long long* o = st.data() + i * 7;
-        if (o[0] + o[1] == 0) {
+        if (o[0] + o[1] + o[4] + o[5] == 0) {
             err = ERR_SEGV;
-            msg = "zero-aligned record (identity NaN assert)";
+            msg = "op-free cigar record (identity NaN assert)";
             break;
         }
         int code = check_full(t, i, st.data());

@@ -46,6 +46,8 @@ WORKLOAD = (
     + _rec(qn="z", st="-", qs=5, qe=55, tags="AS:i:0\tcg:Z:25M1X24M") # =X-free M
     + _rec(qn="w", tags="xx:i:1\tcg:Z:50M\tyy:Z:zzz")                 # unknown tags
     + _rec(qn="n|100|0", tn="m|200|0", tags="cg:Z:50M")               # provenance
+    + _rec(qn="alli", qe=50, ts=10, te=10, nm=0, tags="cg:Z:50I")      # all-I
+    + _rec(qn="alld", qs=0, qe=0, ts=10, te=60, nm=0, tags="cg:Z:50D") # all-D
 ).encode()
 
 # chain needs score-DISTINCT records: equal-score chain output order is

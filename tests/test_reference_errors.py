@@ -208,10 +208,11 @@ def test_stdio_granularity_parity(ref, label, data, cmd, batch):
 
 
 def test_trim_nan_assert_granularity(ref):
-    """trim's identity sanity assert dies on a zero-aligned record
-    (0/0 identity NaN, impl/paf.c:952) — SIGABRT class: the records
-    before it reach the pipe up to the flushed 4096-byte boundary, on
-    both sides, with a multi-block prefix."""
+    """trim's identity sanity assert dies on an OP-FREE cigar record
+    (0/0 identity NaN, impl/paf.c:952; all-I/all-D survive — indels
+    count as mismatches there) — SIGABRT class: the records before it
+    reach the pipe up to the flushed 4096-byte boundary, on both sides,
+    with a multi-block prefix."""
     import os
     env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
     nocigar = b"bare\t1000\t0\t130\t+\tt\t1000\t0\t130\t130\t130\t60\n"

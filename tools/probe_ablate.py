@@ -6,7 +6,8 @@ inside ONE fori_loop dispatch, rotated inputs, min of 3).
 Variants (each a strict subset of the full kernel's work):
   gathers   — the two row gathers only (byte sums defeat DCE)
   compare   — + xor + 4-subcolumn masked popcount + per-chunk sum
-  full      — + inv scatter + cumsum + per-record segment diff
+  full_scatter — + inv scatter + cumsum + segment diff (round-4 production)
+  full      — + per-group cumsum + boundary gather (round-5 production)
 
 Usage: python tools/probe_ablate.py [--iters 40]
 """
@@ -37,7 +38,8 @@ def main(argv=None) -> int:
     from paffy_tpu.ops.tiled import (LOG_STEP2, N_PHASE2, STEP2, W2, LOGW2,
                                      build_packed2_chunk_batch,
                                      build_packed2_pools, build_res_grouped,
-                                     _packed2_res_counts)
+                                     _packed2_res_counts,
+                                     _packed2_res_counts_scatter)
     from paffy_tpu.ops.mismatch import build_ext_pool
     t, _text = bench.load_workload()
     b, pool_size, _name_off = bench.build_columns(t)
@@ -96,8 +98,9 @@ def main(argv=None) -> int:
             acc = acc + jnp.sum(m_, dtype=jnp.int32)
         return acc.astype(jnp.float32)
 
-    def body_full(p2d, pv, trow, qwin, qpar, col_a, col_b, inv, rco, u_pad):
-        m, _ = _packed2_res_counts.__wrapped__(
+    def body_full_scatter(p2d, pv, trow, qwin, qpar, col_a, col_b, inv,
+                          rco, u_pad):
+        m, _ = _packed2_res_counts_scatter.__wrapped__(
             p2d, pv, trow, qwin, qpar, col_a, col_b, inv, rco, u_pad)
         return jnp.sum(m.astype(jnp.float32))
 
@@ -175,9 +178,9 @@ def main(argv=None) -> int:
         return jnp.sum(m.astype(jnp.float32)) \
             + jnp.float32(0) * jnp.sum(v_rec_d)
 
-    # correctness: v2 per-record counts == production kernel (unrotated)
-    m_ref, x_ref = _packed2_res_counts(packed2d, pviews, *cargs,
-                                       u_pad=cb.u_pad)
+    # correctness: cumsum-epilogue counts == dated scatter kernel (unrotated)
+    m_ref, x_ref = _packed2_res_counts_scatter(packed2d, pviews, *cargs,
+                                               u_pad=cb.u_pad)
 
     @jax.jit
     def v2_counts(p2d, pv, trow, qwin, qpar, col_a, col_b):
@@ -217,12 +220,11 @@ def main(argv=None) -> int:
 
     g_ms = timed("gathers", body_gathers)
     c_ms = timed("compare", body_compare)
-    f_ms = timed("full", body_full)
-    v2_ms = timed("full_v2", body_cumsum)
+    f_ms = timed("full_scatter", body_full_scatter)
+    v2_ms = timed("full", body_cumsum)
     print(f"\nattribution: gathers {g_ms:.2f} | +compare "
-          f"{c_ms - g_ms:+.2f} | +scatter/segment {f_ms - c_ms:+.2f} "
-          f"| cumsum-epilogue variant {v2_ms:.2f} (epilogue "
-          f"{v2_ms - c_ms:+.2f}) "
+          f"{c_ms - g_ms:+.2f} | scatter epilogue {f_ms - c_ms:+.2f} "
+          f"| production cumsum epilogue {v2_ms - c_ms:+.2f} "
           f"| padding share of gathers ~{pad:.1%} (~{g_ms * pad:.2f} ms)")
     return 0
 
