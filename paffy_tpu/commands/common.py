@@ -287,9 +287,13 @@ def stream_tables(args, batch_bytes: int | None = None,
             e.stdio_lost_tail = _segv_class(data, off)
             if off == 0:
                 raise
-            return pafio.parse_paf_data(data[:off],
-                                        parse_cigars=parse_cigars,
-                                        validate_cigars=validate_cigars), e
+            # recurse on the clean-looking prefix: the scan and fill passes
+            # report different error kinds, so an EARLIER line may fail a
+            # check the later (reported-first) line's pass never reached —
+            # the reference dies at the first bad line in FILE order, and
+            # that line's error (and death class) must win
+            sub_t, sub_err = parse(data[:off])
+            return sub_t, (sub_err if sub_err is not None else e)
     try:
         leftover = b""
         while True:

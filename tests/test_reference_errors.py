@@ -256,6 +256,40 @@ def test_missing_sequence_midstream_prefix(ref, tmp_path):
             assert a.stdout == b.stdout, (cmd, len(a.stdout), len(b.stdout))
 
 
+NESTED_CASES = [
+    # the FIRST bad line in file order wins even when a LATER line fails
+    # an earlier parser pass (the raw scan rejects blank lines before the
+    # fill validates cigar chars): errAbort at line 2 + SIGSEGV blank at
+    # the end, and the reverse nesting
+    ("abort_then_segv",
+     GOOD + GOOD.replace(b"q\t", b"r\t").replace(b"10M", b"5M3Q")
+     + GOOD.replace(b"q\t", b"s\t") + b"\n"),
+    ("segv_then_abort",
+     GOOD + b"\n" + GOOD.replace(b"q\t", b"r\t").replace(b"10M", b"5M3Q")),
+    ("two_aborts",
+     GOOD + GOOD.replace(b"q\t", b"r\t").replace(b"10M", b"5M3Q")
+     + GOOD.replace(b"q\t", b"s\t").replace(b"\t+\t", b"\t*\t")),
+]
+
+
+@pytest.mark.parametrize("label,data", NESTED_CASES)
+@pytest.mark.parametrize("cmd", [["invert"], ["trim"], ["filter"]],
+                         ids=lambda c: c[0])
+def test_nested_error_classes(ref, label, data, cmd):
+    """Multiple malformed lines of different classes: the earliest line's
+    error and death class decide the output prefix on both lanes."""
+    import os
+    env = dict(os.environ, PAFFY_TPU_PLATFORM="cpu")
+    a = subprocess.run([ref["paffy"], *cmd], input=data,
+                       capture_output=True, timeout=120, env=env)
+    for extra in ({}, {"PAFFY_TPU_NO_FAST": "1"}):
+        b = subprocess.run([str(REPO / "bin" / "paffy"), *cmd], input=data,
+                           capture_output=True, timeout=600,
+                           env={**env, **extra})
+        assert a.returncode != 0 and b.returncode != 0, (label, cmd, extra)
+        assert a.stdout == b.stdout, (label, cmd, extra)
+
+
 MULTICLASS_CASES = [
     # two invalid records of DIFFERENT check classes: the reference checks
     # record-at-a-time (impl/paf.c:427-461 via impl/paf_dedupe.c:120-124),
