@@ -191,15 +191,23 @@ def extract_main(argv) -> int:
         seqs.update(read_fasta(f))
     log_info("Read %d sequences from sequence files", len(seqs))
 
+    def _atol(s: str) -> int:
+        """C atol: optional sign + leading digits, 0 on no digits —
+        the reference parses bed fields with atol (impl/fasta_extract.c:180)."""
+        import re
+        m = re.match(r"\s*[+-]?\d+", s)
+        return int(m.group()) if m else 0
+
     inp = sys.stdin if args.bedFile is None else open(args.bedFile, "r")
-    out = sys.stdout if args.outputFile is None else open(args.outputFile, "w")
+    from paffy_tpu.commands.common import open_output
+    out = open_output(args)
     try:
         intervals = []
         for line in inp:
             tok = line.split()
             if not tok:
                 continue
-            name, s, e = tok[0], int(tok[1]), int(tok[2])
+            name, s, e = tok[0], _atol(tok[1]), _atol(tok[2])
             if name not in seqs:
                 if args.skipMissing:
                     continue
@@ -224,6 +232,17 @@ def extract_main(argv) -> int:
             seq_len = len(seqs[name])
             i = max(s - args.flank, 0)
             j = min(e + args.flank, seq_len)
+            if s < 0 or s > e or e > seq_len:
+                # the reference's interval sanity asserts
+                # (impl/fasta_extract.c:211): a negative start, inverted
+                # interval surviving minSize, or end past the sequence
+                # SIGABRTs — the pending interval is never printed and
+                # the flushed prefix keeps only full stdio blocks
+                from paffy_tpu.commands.common import abort_writers
+                abort_writers()
+                print(f"extract: interval {name}:{s}-{e} out of bounds "
+                      f"(sequence length {seq_len})", file=sys.stderr)
+                return 1
             if prev is not None:
                 if prev[0] == name and prev[2] >= i:
                     prev = (name, prev[1], max(prev[2], j))
@@ -235,7 +254,6 @@ def extract_main(argv) -> int:
     finally:
         if inp is not sys.stdin:
             inp.close()
-        if out is not sys.stdout:
-            out.close()
+        out.close()
     timer.done()
     return 0

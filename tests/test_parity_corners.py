@@ -121,6 +121,52 @@ def test_dechunk_sscanf_header_fields(ref, tmp_path):
     assert outs[0] == outs[1] == outs[2]
 
 
+def test_extract_interval_bounds_parity(ref, tmp_path):
+    """faffy extract's interval sanity asserts (impl/fasta_extract.c:211)
+    SIGABRT on an end past the sequence length; intervals already
+    reported keep only their flushed stdio blocks.  Parsed with atol
+    semantics (junk fields read as leading-int / 0)."""
+    fa = tmp_path / "s.fa"
+    fa.write_text(">s1\n" + "ACGT" * 1000 + "\n>s2\n" + "ACGT" * 500 + "\n")
+    bed = tmp_path / "b.bed"
+    # several valid rows (multi-KB extract output), then an out-of-range end
+    rows = [f"s1\t{k * 400}\t{k * 400 + 300}" for k in range(8)]
+    rows.append("s2\t100\t9999")
+    bed.write_text("\n".join(rows) + "\n")
+    argv = ["extract", "-i", str(bed), str(fa), "-f", "0", "-m", "1"]
+    a = subprocess.run([ref["faffy"], *argv], capture_output=True,
+                       timeout=60, env=ENV)
+    b = subprocess.run([str(REPO / "bin" / "faffy"), *argv],
+                       capture_output=True, timeout=240, env=ENV)
+    assert a.returncode != 0 and b.returncode != 0, (a, b)
+    assert a.stdout == b.stdout
+    # atol junk fields: "12x" reads as 12, "abc" as 0 — both accept
+    bed.write_text("s1\t12x\t200\ns1\tabc\t100\n")
+    a = subprocess.run([ref["faffy"], *argv], capture_output=True,
+                       timeout=60, env=ENV)
+    b = subprocess.run([str(REPO / "bin" / "faffy"), *argv],
+                       capture_output=True, timeout=240, env=ENV)
+    assert a.returncode == 0 and b.returncode == 0, (a.stderr, b.stderr)
+    assert a.stdout == b.stdout
+
+
+def test_view_without_s_superset_relationship(ref, view_work):
+    """The reference SIGABRTs on EVERY plain `view` (its unconditional
+    sanity assert divides 0/0 without -s, impl/paf_view.c:196; its own
+    include.mk forces -UNDEBUG).  paffy-tpu always accumulates and exits
+    0 — the documented superset.  The relationship is exact: the
+    reference's stdout is our stdout truncated to the flushed 4096-byte
+    stdio boundary."""
+    argv = ["view", "-i", str(view_work / "in.paf"), str(view_work / "s.fa")]
+    a = subprocess.run([ref["paffy"], *argv], capture_output=True,
+                       timeout=60, env=ENV)
+    b = subprocess.run([str(REPO / "bin" / "paffy"), *argv],
+                       capture_output=True, timeout=240, env=ENV)
+    assert a.returncode != 0 and b.returncode == 0
+    n = len(b.stdout) - len(b.stdout) % 4096
+    assert a.stdout == b.stdout[:n]
+
+
 # ---------------------------------------------------------------- view -u/-v
 
 @pytest.fixture(scope="module")

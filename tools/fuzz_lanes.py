@@ -108,6 +108,78 @@ CMDS = [["dedupe"], ["dedupe", "-a"], ["invert"], ["filter"],
         ["to_bed"], ["tile"], ["chain"]]
 
 
+def rand_fasta(rng) -> str:
+    """Random FASTA: ACGTN + lowercase, wrapped and unwrapped lines,
+    1-6 sequences of 0-4000 bases."""
+    out = []
+    for k in range(int(rng.integers(1, 7))):
+        n = int(rng.integers(0, 4000))
+        seq = "".join(np.array(list("ACGTNacgtn"))[
+            rng.integers(0, 10, n)]) if n else ""
+        out.append(f">seq{k}\n")
+        width = int(rng.integers(0, 3))
+        if width == 0 or not seq:
+            out.append(seq + "\n")
+        else:
+            w = [60, 80][width - 1]
+            out.append("\n".join(seq[i:i + w]
+                                 for i in range(0, len(seq), w)) + "\n")
+    return "".join(out)
+
+
+def fuzz_faffy(bins, rng, tmp: pathlib.Path):
+    """chunk -> compare dirs+listing; merge the chunk list -> compare;
+    extract a random bed -> compare.  Returns a divergence string or None."""
+    import shutil
+    fa = tmp / "f.fa"
+    fa.write_text(rand_fasta(rng))
+    c = int(rng.integers(2, 3000))
+    o = int(rng.integers(0, c))
+    outs = {}
+    for tag, binpath in (("ref", bins["faffy"]),
+                         ("ours", str(REPO / "bin" / "faffy"))):
+        d = tmp / f"ch_{tag}"
+        shutil.rmtree(d, ignore_errors=True)
+        r = subprocess.run([binpath, "chunk", "-d", str(d), "-c", str(c),
+                            "-o", str(o), str(fa)], capture_output=True,
+                           timeout=120, env=ENV)
+        blob = b"" if not d.exists() else b"".join(
+            p.read_bytes() for p in sorted(d.iterdir()))
+        outs[tag] = (r.returncode == 0,
+                     [pathlib.Path(x).name for x in r.stdout.decode().split()],
+                     blob)
+    if outs["ref"] != outs["ours"]:
+        return f"faffy chunk -c {c} -o {o}"
+    if not outs["ref"][0]:
+        return None
+    # merge the reference's chunk list (absolute paths)
+    lst = tmp / "list"
+    lst.write_text("\n".join(str(tmp / "ch_ref" / n)
+                             for n in outs["ref"][1]) + "\n")
+    a = subprocess.run([bins["faffy"], "merge", "-i", str(lst)],
+                       capture_output=True, timeout=120, env=ENV)
+    b = subprocess.run([str(REPO / "bin" / "faffy"), "merge", "-i",
+                        str(lst)], capture_output=True, timeout=120, env=ENV)
+    if (a.returncode == 0) != (b.returncode == 0) or a.stdout != b.stdout:
+        return f"faffy merge (-c {c} -o {o})"
+    # extract random rows (in-bounds and out-of-bounds)
+    rows = []
+    for _ in range(int(rng.integers(1, 8))):
+        s = int(rng.integers(0, 4000))
+        e = s + int(rng.integers(1, 500))
+        rows.append(f"seq{int(rng.integers(0, 7))}\t{s}\t{e}")
+    bed = tmp / "b.bed"
+    bed.write_text("\n".join(rows) + "\n")
+    a = subprocess.run([bins["faffy"], "extract", "-i", str(bed), str(fa)],
+                       capture_output=True, timeout=120, env=ENV)
+    b = subprocess.run([str(REPO / "bin" / "faffy"), "extract", "-i",
+                        str(bed), str(fa)], capture_output=True, timeout=120,
+                       env=ENV)
+    if (a.returncode == 0) != (b.returncode == 0) or a.stdout != b.stdout:
+        return "faffy extract"
+    return None
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=50)
@@ -118,6 +190,14 @@ def main(argv=None) -> int:
         print("no reference build available", file=sys.stderr)
         return 1
     bad = 0
+    import tempfile
+    ftmp = pathlib.Path(tempfile.mkdtemp(prefix="fuzz_faffy_"))
+    for rnd in range(args.rounds):
+        rng = np.random.default_rng(10_000 + args.seed + rnd)
+        div = fuzz_faffy(bins, rng, ftmp)
+        if div:
+            bad += 1
+            print(f"FAFFY DIVERGENCE seed={10_000 + args.seed + rnd}: {div}")
     for rnd in range(args.rounds):
         rng = np.random.default_rng(args.seed + rnd)
         data = rand_input(rng)
@@ -133,10 +213,14 @@ def main(argv=None) -> int:
             ok_rc = (a.returncode == 0) == (b.returncode == 0) == \
                 (c.returncode == 0)
             # chain's equal-score ordering is a documented divergence:
-            # compare sorted lines there, byte-else
+            # chain ids (cn) encode that order, so compare the sorted
+            # line multiset with cn stripped; lanes stay byte-locked
             if cmd == ["chain"]:
-                eq = sorted(a.stdout.splitlines()) == \
-                    sorted(b.stdout.splitlines()) and b.stdout == c.stdout
+                import re
+                strip = lambda x: sorted(
+                    re.sub(rb"\tcn:i:\d+", b"", x).splitlines())
+                eq = strip(a.stdout) == strip(b.stdout) \
+                    and b.stdout == c.stdout
             else:
                 eq = a.stdout == b.stdout == c.stdout
             if not (ok_rc and eq):
