@@ -62,13 +62,21 @@ def chunk_main(argv) -> int:
     chunk_fh = None
     chunk_path = None
     chunk_remaining = args.chunkSize
+    # both the chunk files and the stdout path listing go through the
+    # stdio-granularity writers: the reference's non-ACGTN assert
+    # (SIGABRT) loses the unflushed listing and the current chunk file's
+    # sub-block tail, while completed chunks were fclosed (flushed)
+    from paffy_tpu.commands.common import (GlibcWriter, _TextGlibcFacade)
+    lst_out = _TextGlibcFacade(GlibcWriter(sys.stdout.buffer, owns=False)) \
+        if hasattr(sys.stdout, "buffer") else sys.stdout
 
     def start_chunk():
         nonlocal chunk_fh, chunk_path, chunk_no, chunk_remaining
         if chunk_fh is None:
             chunk_path = f"{args.dir}/{chunk_no}.fa"
             chunk_no += 1
-            chunk_fh = open(chunk_path, "w")
+            chunk_fh = _TextGlibcFacade(GlibcWriter(open(chunk_path, "wb"),
+                                                    owns=True))
             chunk_remaining = args.chunkSize
             log_debug("Starting chunk %s", chunk_path)
 
@@ -77,7 +85,7 @@ def chunk_main(argv) -> int:
         if chunk_fh is not None:
             chunk_fh.close()
             log_debug("Finishing chunk %s", chunk_path)
-            print(chunk_path)    # chunk file list goes to stdout
+            lst_out.write(chunk_path + "\n")   # chunk list -> stdout
             chunk_fh = None
             chunk_path = None
 
@@ -100,13 +108,21 @@ def chunk_main(argv) -> int:
                 start_chunk()
                 j = min(i + args.chunkSize + args.overlap, n)
                 piece = seq[i:j]
-                _check_acgtn(piece, f"chunk of {header}")
+                try:
+                    _check_acgtn(piece, f"chunk of {header}")
+                except ValueError as e:
+                    # the reference's per-base assert class: SIGABRT,
+                    # unflushed tails lost (impl/fasta_chunk.c:93-97)
+                    e.stdio_lost_tail = True
+                    raise
                 write_fasta_record(chunk_fh, f"{header}|{n}|{i}", piece,
                                    args.lineWidth)
                 chunk_remaining -= j - i
                 if chunk_remaining <= 0:
                     finish_chunk()
     finish_chunk()
+    if lst_out is not sys.stdout:
+        lst_out.close()
     timer.done()
     return 0
 

@@ -121,6 +121,27 @@ def test_dechunk_sscanf_header_fields(ref, tmp_path):
     assert outs[0] == outs[1] == outs[2]
 
 
+def test_chunk_nonacgtn_partial_state_parity(ref, tmp_path):
+    """faffy chunk's per-base assert (non-ACGTN char, SIGABRT,
+    impl/fasta_chunk.c:93-97): completed chunk files were fclosed
+    (flushed), the current chunk's sub-block tail and the unflushed
+    stdout listing are LOST — chunk dirs and stdout must match
+    byte-for-byte mid-death."""
+    fa = tmp_path / "iu.fa"
+    fa.write_text(">s1\n" + "ACGT" * 1500 + "\n>s2\n"
+                  + "ACGT" * 2000 + "R" + "ACGT" * 100 + "\n")
+    outs = []
+    for tag, binary in (("ref", ref["faffy"]), ("ours", REPO / "bin" / "faffy")):
+        d = tmp_path / tag
+        r = subprocess.run([str(binary), "chunk", "-d", str(d), "-c", "3000",
+                            "-o", "100", str(fa)], capture_output=True,
+                           timeout=120, env=ENV)
+        assert r.returncode != 0, (tag, r)
+        outs.append((r.stdout,
+                     {p.name: p.read_bytes() for p in d.iterdir()}))
+    assert outs[0] == outs[1]
+
+
 def test_extract_interval_bounds_parity(ref, tmp_path):
     """faffy extract's interval sanity asserts (impl/fasta_extract.c:211)
     SIGABRT on an end past the sequence length; intervals already

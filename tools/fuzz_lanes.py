@@ -63,14 +63,29 @@ def rand_record(rng) -> str:
     tags = []
     r = rng.integers(0, 8)
     if r & 1:
-        tags.append(f"AS:i:{int(rng.integers(-5, 5000))}")
+        # include the sentinel edges: INT_MAX suppresses AS on re-emit
+        # (impl/paf.c:349), negatives survive
+        v = [int(rng.integers(-5, 5000)), -1, 0, 2147483647][
+            rng.integers(0, 4)]
+        tags.append(f"AS:i:{v}")
     if r & 2:
-        tags.append(f"tl:i:{int(rng.integers(1, 5))}")
+        # -1 is the "absent" sentinel for tl/cn/s1 — a literal -1 tag
+        # must vanish on re-emit on both sides
+        tags.append(f"tl:i:{[1, 2, 3, -1][rng.integers(0, 4)]}")
     if r & 4:
         tags.append("tp:A:" + "PSI"[rng.integers(0, 3)])
+    if rng.integers(0, 4) == 0:
+        tags.append(f"cn:i:{[7, -1][rng.integers(0, 2)]}")
+    if rng.integers(0, 4) == 0:
+        tags.append(f"s1:i:{[12345, -1][rng.integers(0, 2)]}")
     kind = rng.integers(0, 10)
     if kind < 6:
         tags.append("cg:Z:" + rand_cigar(rng, qe - qs, te - ts))
+        if rng.integers(0, 20) == 0:
+            # op-free cigar tag text is impossible (cg:Z: + empty ->
+            # treated as no tag by both) but a 0M-only cigar is the
+            # zero-length-op class
+            tags[-1] = "cg:Z:0M"
     elif kind < 7:
         pass                                    # no cigar
     elif kind < 8:
@@ -90,6 +105,9 @@ def rand_record(rng) -> str:
 def rand_input(rng) -> bytes:
     n = int(rng.integers(1, 25))
     lines = [rand_record(rng) for _ in range(n)]
+    # force exact duplicates and inverse-style repeats for dedupe
+    if n > 2 and rng.integers(0, 3) == 0:
+        lines.append(lines[int(rng.integers(0, len(lines)))])
     # occasional structural junk
     j = rng.integers(0, 10)
     if j == 0:
